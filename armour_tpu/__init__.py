@@ -1,0 +1,33 @@
+"""armour_tpu — a TPU-native ARMOUR motion-planning framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+`mconati/armour-dev` (receding-horizon, provably-safe manipulator planning
+with polynomial-zonotope reachable sets and a robust passivity controller).
+
+Layer map (TPU-first, cf. reference SURVEY.md §1):
+
+    sim/harness   — batched episode runner (vmap/shard_map over worlds)
+    planner/      — ARMOUR planner: JRS -> PZ-FK/RNEA -> constraints -> batched NLP
+    control/      — robust CBF passivity controller (point + interval RNEA)
+    dynamics/     — PZ-RNEA over the joint chain; numeric point/interval RNEA
+    jrs/          — Bezier / constant-accel joint reachable sets
+    collision/    — buffered-zonotope hyperplane constraint banks
+    ops/          — static-basis polynomial zonotope + interval engine
+    robots/       — robot spec layer (URDF-free typed specs; Kinova Gen3 flagship)
+
+Everything on the hot path is jit-compiled, statically shaped, and batched
+over (time x world) leading axes so XLA can tile onto the MXU/VPU.
+"""
+
+__version__ = "0.1.0"
+
+from armour_tpu.config import PlannerConfig, SimConfig
+from armour_tpu.robots.spec import RobotSpec
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+__all__ = [
+    "PlannerConfig",
+    "SimConfig",
+    "RobotSpec",
+    "kinova_gen3_spec",
+]

@@ -1,0 +1,109 @@
+"""Global planner / simulator configuration.
+
+Single typed config replacing the reference's three uncoordinated layers
+(compile-time macros in `kinova_planner_realtime/Parameters.h:10-59`, MATLAB
+name-value args, and script-level parameter blocks) — see SURVEY.md §5
+"Config / flag system".
+
+All values default to the reference's settings so plans are comparable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerConfig:
+    """ARMOUR planner configuration.
+
+    Reference values: `kinova_planner_realtime/Parameters.h:10-59`,
+    `armour_main.cu:81` (t_plan), `NLPclass.cu:46-54`.
+    """
+
+    # trajectory duration in seconds; first half executed, second half is the
+    # guaranteed braking segment (Parameters.h:14, Trajectory.h:10-13)
+    duration: float = 1.0
+
+    # plan/move horizon: optimize q(t_plan) against the waypoint
+    # (armour_main.cu:81)
+    t_plan: float = 0.5
+
+    # number of PZ time subintervals over [0, duration]; must be even for the
+    # qd_des bounding trick (Parameters.h:17, Trajectory.cu:146-158)
+    num_time_steps: int = 128
+
+    # trajectory-parameter range per joint, radians (Parameters.h:21)
+    k_range: float = math.pi / 48
+
+    # degree cap for the static k-monomial basis.  The reference instead
+    # sweeps monomials with coefficient norm < 5e-4 (Parameters.h:10,
+    # PZsparse.cu:284-350); with k_range = pi/48 every degree-3 k-monomial
+    # coefficient is O(3e-4) so degree<=2 is the static-budget equivalent.
+    max_monomial_degree: int = 2
+
+    # obstacle capacity (Parameters.h:26-29)
+    max_obstacles: int = 40
+    obstacle_generators: int = 3
+
+    # constraint acceptance thresholds (Parameters.h:38-41)
+    collision_violation_threshold: float = 1e-4
+    torque_violation_threshold: float = 1e-2
+
+    # cost scale (Parameters.h:44)
+    cost_scale: float = 10.0
+
+    # toggle torque constraints (Parameters.h:47)
+    input_constraints: bool = True
+
+    # extra radius padding applied to constraint sets to absorb f32
+    # accumulation error (reference uses f64 + Boost directed rounding on the
+    # C++ side; MATLAB/CORA side is plain f64).  Units: meters for collision,
+    # N*m for torque.  Set to 0.0 when running in f64.
+    collision_numeric_slack: float = 1e-5
+    torque_numeric_slack: float = 1e-3
+
+    # batched NLP solver settings (replaces Ipopt: armour_main.cu:254-290)
+    nlp_tolerance: float = 1e-4
+    nlp_outer_iters: int = 14
+    nlp_inner_iters: int = 14
+    nlp_num_starts: int = 8
+
+    @property
+    def dt(self) -> float:
+        return self.duration / self.num_time_steps
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Simulation-harness configuration.
+
+    Reference values: `kinova_run_100_worlds.m:20-100`,
+    `simulator_armtd.m:142-330`, `uarmtd_agent.m:19,292-311`.
+    """
+
+    # per-iteration executed horizon (t_move == t_plan)
+    t_move: float = 0.5
+
+    # plant integration step for the fixed-step RK4 rollout (the reference
+    # uses ode15s with tol 1e-10, uarmtd_agent.m:301; RK4 at 2 kHz reproduces
+    # tracking error well below the ultimate bound)
+    plant_dt: float = 5e-4
+
+    # post-hoc safety check resolution (uarmtd_agent.m:19)
+    check_dt: float = 0.01
+
+    # episode control (kinova_run_100_worlds.m:62-65)
+    max_iterations: int = 50
+    stop_threshold: int = 4
+
+    # goal tolerance per joint, radians (kinova_run_100_worlds.m:24)
+    goal_radius: float = math.pi / 30
+
+    # inertial uncertainty of the plant's true params
+    # (kinova_run_100_worlds.m:40 'uncertain_mass_range')
+    uncertain_mass_range: tuple[float, float] = (0.97, 1.03)
+
+    # measurement noise (uarmtd_agent.m:314-325); 0 disables
+    measurement_noise_std: float = 0.0

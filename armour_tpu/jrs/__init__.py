@@ -1,0 +1,3 @@
+from armour_tpu.jrs.bezier import BezierJRS, make_bezier_jrs, bezier_ref
+
+__all__ = ["BezierJRS", "make_bezier_jrs", "bezier_ref"]

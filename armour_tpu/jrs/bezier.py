@@ -1,0 +1,484 @@
+"""Online Bezier joint reachable sets (JRS).
+
+TPU-native rebuild of the reference's degree-5 Bezier JRS generator
+(`kinova_planner_realtime/Trajectory.{h,cu}`): instead of an OpenMP loop
+constructing one time subinterval at a time (`armour_main.cu:100-103`), every
+quantity is computed as a closed-form tensor over all ``T`` subintervals and
+all joints at once, then packed into batched static-basis PZs.
+
+Trajectory parameterization (`Trajectory.h:10-31`): per joint a degree-5
+Bezier over normalized time s in [0, 1] (t = s * DURATION) that starts at
+(q0, qd0, qdd0) and ends at (q0 + k * k_range, 0, 0):
+
+    q_des(s)   = B(s) * k_actual + q_indep(s)          B(s) = s^3(6s^2-15s+10)
+    qd_des(s)  = 30 s^2 (s-1)^2 * k_actual / T + ...
+    qdd_des(s) = 60 s (2s^2-3s+1) * k_actual / T^2 + ...
+
+Tracking-error variables (qe/qde/qdae/qddae ultimate bounds) are folded into
+the PZ radius at construction (see ops/pz.py design note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from armour_tpu.config import PlannerConfig
+from armour_tpu.ops.interval import Interval, icos, isin
+from armour_tpu.ops.pz import PZ, rot_from_cos_sin
+from armour_tpu.robots.spec import RobotSpec
+
+# the k-dependent factor of qdd_des, 60 s (2s^2 - 3s + 1), has its interior
+# maximum / minimum at these s values (Trajectory.h:7-8)
+_QDD_K_DEP_MAXIMA = 0.5 - math.sqrt(3.0) / 6.0
+_QDD_K_DEP_MINIMA = 0.5 + math.sqrt(3.0) / 6.0
+
+
+# ---------------------------------------------------------------------------
+# closed-form trajectory evaluation (Trajectory.cu:542-599)
+# ---------------------------------------------------------------------------
+
+def _betas(q0, Tqd0, TTqdd0, k_actual):
+    """Bezier control points (shared by q/qd/qdd evaluation)."""
+    b0 = q0
+    b1 = q0 + Tqd0 / 5.0
+    b2 = q0 + (2.0 * Tqd0) / 5.0 + TTqdd0 / 20.0
+    b3 = q0 + k_actual
+    return b0, b1, b2, b3
+
+
+def q_des_fn(q0, Tqd0, TTqdd0, k_actual, s):
+    b0, b1, b2, b3 = _betas(q0, Tqd0, TTqdd0, k_actual)
+    B0 = -((s - 1.0) ** 5)
+    B1 = 5.0 * s * (s - 1.0) ** 4
+    B2 = -10.0 * s**2 * (s - 1.0) ** 3
+    B3 = 10.0 * s**3 * (s - 1.0) ** 2
+    B4 = -5.0 * s**4 * (s - 1.0)
+    B5 = s**5
+    return B0 * b0 + B1 * b1 + B2 * b2 + (B3 + B4 + B5) * b3
+
+
+def qd_des_fn(q0, Tqd0, TTqdd0, k_actual, s):
+    """d/ds of q_des (divide by DURATION for rad/s)."""
+    b0, b1, b2, b3 = _betas(q0, Tqd0, TTqdd0, k_actual)
+    dB0 = -5.0 * (s - 1.0) ** 4
+    dB1 = 20.0 * s * (s - 1.0) ** 3 + 5.0 * (s - 1.0) ** 4
+    dB2 = -20.0 * s * (s - 1.0) ** 3 - 30.0 * s**2 * (s - 1.0) ** 2
+    dB3 = 10.0 * s**3 * (2.0 * s - 2.0) + 30.0 * s**2 * (s - 1.0) ** 2
+    dB4 = -20.0 * s**3 * (s - 1.0) - 5.0 * s**4
+    dB5 = 5.0 * s**4
+    return dB0 * b0 + dB1 * b1 + dB2 * b2 + (dB3 + dB4 + dB5) * b3
+
+
+def qdd_des_fn(q0, Tqd0, TTqdd0, k_actual, s):
+    """d2/ds2 of q_des (divide by DURATION^2 for rad/s^2)."""
+    b0, b1, b2, b3 = _betas(q0, Tqd0, TTqdd0, k_actual)
+    t5 = s - 1.0
+    ddB0 = -20.0 * t5**3
+    ddB1 = 40.0 * t5**3 + 60.0 * s * t5**2
+    ddB2 = -20.0 * t5**3 - 120.0 * s * t5**2 - 30.0 * s**2 * (2.0 * s - 2.0)
+    ddB3 = 20.0 * s**3 + 60.0 * s * t5**2 + 60.0 * s**2 * (2.0 * s - 2.0)
+    ddB4 = -40.0 * s**3 - 60.0 * s**2 * t5
+    ddB5 = 20.0 * s**3
+    return ddB0 * b0 + ddB1 * b1 + ddB2 * b2 + (ddB3 + ddB4 + ddB5) * b3
+
+
+def bezier_ref(q0, qd0, qdd0, k_actual, t, duration: float = 1.0):
+    """Reference (q, qd, qdd) at wall-clock time t in [0, duration].
+
+    Broadcasts over joint vectors; this is what the low-level controller
+    tracks (`uarmtd_planner.m:899-921` desired_trajectory).
+    """
+    s = t / duration
+    Tqd0 = qd0 * duration
+    TTqdd0 = qdd0 * duration * duration
+    q = q_des_fn(q0, Tqd0, TTqdd0, k_actual, s)
+    qd = qd_des_fn(q0, Tqd0, TTqdd0, k_actual, s) / duration
+    qdd = qdd_des_fn(q0, Tqd0, TTqdd0, k_actual, s) / (duration * duration)
+    return q, qd, qdd
+
+
+def _q_des_k_indep(q0, Tqd0, TTqdd0, s):
+    """k-independent part of q_des (Trajectory.cu:812-814)."""
+    return (
+        q0
+        + Tqd0 * s
+        - 6.0 * Tqd0 * s**3
+        + 8.0 * Tqd0 * s**4
+        - 3.0 * Tqd0 * s**5
+        + 0.5 * TTqdd0 * s**2
+        - 1.5 * TTqdd0 * s**3
+        + 1.5 * TTqdd0 * s**4
+        - 0.5 * TTqdd0 * s**5
+    )
+
+
+def _qd_des_k_indep(Tqd0, TTqdd0, s, duration):
+    """(Trajectory.cu:816-818)."""
+    return (
+        0.5
+        * (s - 1.0) ** 2
+        * (2.0 * Tqd0 + 4.0 * Tqd0 * s + 2.0 * TTqdd0 * s - 30.0 * Tqd0 * s**2 - 5.0 * TTqdd0 * s**2)
+        / duration
+    )
+
+
+def _qdd_des_k_indep(Tqd0, TTqdd0, s, duration):
+    """(Trajectory.cu:820-822)."""
+    return (
+        -(s - 1.0)
+        * (TTqdd0 - (36.0 * Tqd0 + 8.0 * TTqdd0) * s + (60.0 * Tqd0 + 10.0 * TTqdd0) * s**2)
+        / (duration * duration)
+    )
+
+
+def _safe_sqrt(x):
+    return jnp.sqrt(jnp.where(x > 0.0, x, 1.0))
+
+
+def _range_with_extrema(f, endpoints_lo, endpoints_hi, extrema_s, extrema_val, s_lo, s_hi):
+    """Range of f over [s_lo, s_hi] from endpoint values + interior extrema.
+
+    ``extrema_s/val`` are candidate stationary points (already evaluated);
+    candidates outside (s_lo, s_hi) are ignored (Trajectory.cu:80-93).
+    """
+    lo = jnp.minimum(endpoints_lo, endpoints_hi)
+    hi = jnp.maximum(endpoints_lo, endpoints_hi)
+    for es, ev in zip(extrema_s, extrema_val):
+        inside = (s_lo < es) & (es < s_hi)
+        lo = jnp.where(inside, jnp.minimum(lo, ev), lo)
+        hi = jnp.where(inside, jnp.maximum(hi, ev), hi)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# JRS container
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BezierJRS:
+    """Per-joint PZs batched over the T time subintervals.
+
+    ``R[i]`` is the 3x3 rotation PZ of joint i (batch (T,)); the list has
+    n_joints + 1 entries with an identity end-effector frame, matching
+    `Trajectory.cu:247-253`.
+    """
+
+    q0: jnp.ndarray
+    qd0: jnp.ndarray
+    qdd0: jnp.ndarray
+    Tqd0: jnp.ndarray
+    TTqdd0: jnp.ndarray
+    k_range: jnp.ndarray          # (n_factors,)
+    duration: float
+
+    cos_q: list          # n_factors scalar PZs, batch (T,)
+    sin_q: list
+    qd_des: list         # with qde radius (for RNEA velocity slot)
+    qda_des: list        # with qdae radius (auxiliary velocity)
+    qdda_des: list       # with qddae radius (auxiliary acceleration)
+    R: list              # n_joints + 1 rotation PZs
+    R_t: list            # n_joints transposed rotation PZs
+
+    def tree_flatten(self):
+        dyn = (self.q0, self.qd0, self.qdd0, self.Tqd0, self.TTqdd0, self.k_range,
+               self.cos_q, self.sin_q, self.qd_des, self.qda_des, self.qdda_des,
+               self.R, self.R_t)
+        return dyn, (self.duration,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, dyn):
+        return cls(*dyn[:6], aux[0], *dyn[6:])
+
+
+jax.tree_util.register_pytree_node(
+    BezierJRS,
+    BezierJRS.tree_flatten,
+    BezierJRS.tree_unflatten,
+)
+
+
+def make_bezier_jrs(
+    spec: RobotSpec,
+    cfg: PlannerConfig,
+    q0: jnp.ndarray,
+    qd0: jnp.ndarray,
+    qdd0: jnp.ndarray,
+    dtype=jnp.float64,
+) -> BezierJRS:
+    """Build the full JRS for all T subintervals (Trajectory.cu:63-254).
+
+    Pure tensor math; jit/vmap-compatible (no data-dependent control flow).
+    """
+    nf = spec.n_factors
+    T = cfg.num_time_steps
+    dur = cfg.duration
+    q0 = jnp.asarray(q0, dtype)
+    qd0 = jnp.asarray(qd0, dtype)
+    qdd0 = jnp.asarray(qdd0, dtype)
+    Tqd0 = qd0 * dur
+    TTqdd0 = qdd0 * dur * dur
+    k_rng = jnp.full((nf,), cfg.k_range, dtype)
+
+    s_grid = jnp.arange(T + 1, dtype=dtype) / T
+    s_lb = s_grid[:-1][:, None]  # (T, 1)
+    s_ub = s_grid[1:][:, None]
+
+    qe, qde, qdae, qddae = spec.qe, spec.qde, spec.qdae, spec.qddae
+
+    # ---- k-independent extrema (Trajectory.cu:36-58), shape (nf,) ----
+    def _q_indep_extrema():
+        disc = 64.0 * Tqd0**2 + 14.0 * Tqd0 * TTqdd0 + TTqdd0**2
+        den = 5.0 * (6.0 * Tqd0 + TTqdd0)
+        den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+        e1 = (2.0 * Tqd0 + TTqdd0 + _safe_sqrt(disc)) / den
+        e2 = (2.0 * Tqd0 + TTqdd0 - _safe_sqrt(disc)) / den
+        valid = disc > 0.0
+        e1 = jnp.where(valid, e1, -1.0)
+        e2 = jnp.where(valid, e2, -1.0)
+        return (e1, e2), (_q_des_k_indep(q0, Tqd0, TTqdd0, e1), _q_des_k_indep(q0, Tqd0, TTqdd0, e2))
+
+    def _qd_indep_extrema():
+        disc = 6.0 * (54.0 * Tqd0**2 + 14.0 * Tqd0 * TTqdd0 + TTqdd0**2)
+        den = 10.0 * (6.0 * Tqd0 + TTqdd0)
+        den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+        e1 = (18.0 * Tqd0 + 4.0 * TTqdd0 + _safe_sqrt(disc)) / den
+        e2 = (18.0 * Tqd0 + 4.0 * TTqdd0 - _safe_sqrt(disc)) / den
+        valid = disc > 0.0
+        e1 = jnp.where(valid, e1, -1.0)
+        e2 = jnp.where(valid, e2, -1.0)
+        return (e1, e2), (
+            _qd_des_k_indep(Tqd0, TTqdd0, e1, dur),
+            _qd_des_k_indep(Tqd0, TTqdd0, e2, dur),
+        )
+
+    def _qdd_indep_extrema():
+        disc = 2.0 * (152.0 * Tqd0**2 + 42.0 * Tqd0 * TTqdd0 + 3.0 * TTqdd0**2)
+        den = 10.0 * (6.0 * Tqd0 + TTqdd0)
+        den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+        e1 = (32.0 * Tqd0 + 6.0 * TTqdd0 + _safe_sqrt(disc)) / den
+        e2 = (32.0 * Tqd0 + 6.0 * TTqdd0 - _safe_sqrt(disc)) / den
+        valid = disc > 0.0
+        e1 = jnp.where(valid, e1, -1.0)
+        e2 = jnp.where(valid, e2, -1.0)
+        return (e1, e2), (
+            _qdd_des_k_indep(Tqd0, TTqdd0, e1, dur),
+            _qdd_des_k_indep(Tqd0, TTqdd0, e2, dur),
+        )
+
+    qie_s, qie_v = _q_indep_extrema()
+    qdie_s, qdie_v = _qd_indep_extrema()
+    qddie_s, qddie_v = _qdd_indep_extrema()
+
+    # ---- Part 1: q_des range and cos/sin PZs (Trajectory.cu:71-144) ----
+    B = lambda s: s**3 * (6.0 * s**2 - 15.0 * s + 10.0)
+    kd_lb = B(s_lb)  # (T, 1); B monotone increasing on [0, 1]
+    kd_ub = B(s_ub)
+    kd_center = 0.5 * (kd_ub + kd_lb)                      # (T, 1)
+    kd_radius = 0.5 * (kd_ub - kd_lb) * k_rng[None, :]     # (T, nf)
+
+    qi_lo, qi_hi = _range_with_extrema(
+        None,
+        _q_des_k_indep(q0, Tqd0, TTqdd0, s_lb),
+        _q_des_k_indep(q0, Tqd0, TTqdd0, s_ub),
+        qie_s,
+        qie_v,
+        s_lb,
+        s_ub,
+    )
+    qi_radius = 0.5 * (qi_hi - qi_lo)
+    q_center = 0.5 * (qi_hi + qi_lo)                       # (T, nf)
+    q_rad = kd_radius + qi_radius + qe                     # (T, nf) radius around center+k-term
+
+    kc = kd_center * k_rng[None, :]                        # (T, nf) k coeff (actual rad)
+    k_int = Interval(-kc - q_rad, kc + q_rad)              # total deviation from center
+    rad_int = Interval(-q_rad, q_rad)
+
+    # first-order Taylor + Lagrange remainder (Trajectory.cu:101-134)
+    cos_c = jnp.cos(q_center)
+    sin_c = jnp.sin(q_center)
+    cos_rem = rad_int * (-sin_c) - 0.5 * icos(k_int + q_center) * k_int.square()
+    sin_rem = rad_int * cos_c - 0.5 * isin(k_int + q_center) * k_int.square()
+
+    cos_center = cos_c + cos_rem.center      # (T, nf)
+    cos_kcoeff = -kc * sin_c
+    cos_radius = cos_rem.radius
+    sin_center = sin_c + sin_rem.center
+    sin_kcoeff = kc * cos_c
+    sin_radius = sin_rem.radius
+
+    fixed = spec.fixed_rotations()
+
+    cos_q, sin_q, qd_list, qda_list, qdda_list, R_list, Rt_list = [], [], [], [], [], [], []
+
+    # ---- Part 2: qd_des k-dep factor (Trajectory.cu:146-192) ----
+    Bd = lambda s: 30.0 * s**2 * (s - 1.0) ** 2 / dur
+    bd_a = Bd(s_lb)
+    bd_b = Bd(s_ub)
+    # single interior maximum at s = 0.5; T even => each subinterval is
+    # monotone, so sorting the endpoint values bounds the factor
+    bd_lo = jnp.minimum(bd_a, bd_b)
+    bd_hi = jnp.maximum(bd_a, bd_b)
+    qd_kc = 0.5 * (bd_hi + bd_lo) * k_rng[None, :]          # (T, nf)
+    qd_kr = 0.5 * (bd_hi - bd_lo) * k_rng[None, :]
+
+    qdi_lo, qdi_hi = _range_with_extrema(
+        None,
+        _qd_des_k_indep(Tqd0, TTqdd0, s_lb, dur),
+        _qd_des_k_indep(Tqd0, TTqdd0, s_ub, dur),
+        qdie_s,
+        qdie_v,
+        s_lb,
+        s_ub,
+    )
+    qd_center = 0.5 * (qdi_hi + qdi_lo)
+    qd_ir = 0.5 * (qdi_hi - qdi_lo)
+
+    # ---- Part 3: qdd_des k-dep factor (Trajectory.cu:194-244) ----
+    Bdd = lambda s: 60.0 * s * (2.0 * s**2 - 3.0 * s + 1.0) / (dur * dur)
+    t_lb = Bdd(s_lb)
+    t_ub = Bdd(s_ub)
+    bmax = Bdd(jnp.asarray(_QDD_K_DEP_MAXIMA, dtype))
+    bmin = Bdd(jnp.asarray(_QDD_K_DEP_MINIMA, dtype))
+    lo_mono = jnp.minimum(t_lb, t_ub)
+    hi_mono = jnp.maximum(t_lb, t_ub)
+    has_max = (s_lb <= _QDD_K_DEP_MAXIMA) & (_QDD_K_DEP_MAXIMA < s_ub)
+    has_min = (s_lb <= _QDD_K_DEP_MINIMA) & (_QDD_K_DEP_MINIMA < s_ub)
+    bdd_lo = jnp.where(has_min, bmin, lo_mono)
+    bdd_hi = jnp.where(has_max, bmax, hi_mono)
+    qdd_kc = 0.5 * (bdd_hi + bdd_lo) * k_rng[None, :]
+    qdd_kr = 0.5 * (bdd_hi - bdd_lo) * k_rng[None, :]
+
+    qddi_lo, qddi_hi = _range_with_extrema(
+        None,
+        _qdd_des_k_indep(Tqd0, TTqdd0, s_lb, dur),
+        _qdd_des_k_indep(Tqd0, TTqdd0, s_ub, dur),
+        qddie_s,
+        qddie_v,
+        s_lb,
+        s_ub,
+    )
+    qdd_center = 0.5 * (qddi_hi + qddi_lo)
+    qdd_ir = 0.5 * (qddi_hi - qddi_lo)
+
+    for i in range(nf):
+        key = ((i, 1),)
+        cos_q.append(PZ.from_gens(cos_center[:, i], [key], [cos_kcoeff[:, i]], r=cos_radius[:, i], nval=0))
+        sin_q.append(PZ.from_gens(sin_center[:, i], [key], [sin_kcoeff[:, i]], r=sin_radius[:, i], nval=0))
+        R_i = rot_from_cos_sin(cos_q[i], sin_q[i], int(spec.axes[i]), fixed[i])
+        R_list.append(R_i)
+        from armour_tpu.ops.pz import pz_transpose
+
+        Rt_list.append(pz_transpose(R_i))
+
+        qd_list.append(
+            PZ.from_gens(qd_center[:, i], [key], [qd_kc[:, i]], r=qd_kr[:, i] + qd_ir[:, i] + qde, nval=0)
+        )
+        qda_list.append(
+            PZ.from_gens(qd_center[:, i], [key], [qd_kc[:, i]], r=qd_kr[:, i] + qd_ir[:, i] + qdae, nval=0)
+        )
+        qdda_list.append(
+            PZ.from_gens(qdd_center[:, i], [key], [qdd_kc[:, i]], r=qdd_kr[:, i] + qdd_ir[:, i] + qddae, nval=0)
+        )
+
+    # fixed joints at the end of the chain (Trajectory.cu:247-251)
+    for i in range(nf, spec.n_joints):
+        Rf = PZ.const(jnp.broadcast_to(jnp.asarray(fixed[i], dtype), (T, 3, 3)), nval=2)
+        R_list.append(Rf)
+        from armour_tpu.ops.pz import pz_transpose
+
+        Rt_list.append(pz_transpose(Rf))
+
+    # identity end-effector frame (Trajectory.cu:253: zero rpy rotation)
+    R_list.append(PZ.const(jnp.broadcast_to(jnp.eye(3, dtype=dtype), (T, 3, 3)), nval=2))
+
+    return BezierJRS(
+        q0=q0,
+        qd0=qd0,
+        qdd0=qdd0,
+        Tqd0=Tqd0,
+        TTqdd0=TTqdd0,
+        k_range=k_rng,
+        duration=dur,
+        cos_q=cos_q,
+        sin_q=sin_q,
+        qd_des=qd_list,
+        qda_des=qda_list,
+        qdda_des=qdda_list,
+        R=R_list,
+        R_t=Rt_list,
+    )
+
+
+# ---------------------------------------------------------------------------
+# global joint position / velocity extrema for state-limit constraints
+# (Trajectory.cu:256-540; gradients via autodiff instead of the
+#  machine-generated derivative expressions at Trajectory.cu:601-810)
+# ---------------------------------------------------------------------------
+
+def joint_position_extrema(jrs: BezierJRS, k: jnp.ndarray):
+    """(min_q, max_q) over the whole trajectory, differentiable in k."""
+    q0, Tqd0, TTqdd0 = jrs.q0, jrs.Tqd0, jrs.TTqdd0
+    ka = jrs.k_range * k
+    disc = 64.0 * Tqd0**2 + 14.0 * Tqd0 * TTqdd0 - 120.0 * ka * Tqd0 + TTqdd0**2
+    den = 5.0 * (6.0 * Tqd0 - 12.0 * ka + TTqdd0)
+    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    root = _safe_sqrt(disc)
+    e2 = (2.0 * Tqd0 + TTqdd0 + root) / den
+    e3 = (2.0 * Tqd0 + TTqdd0 - root) / den
+    ok2 = (disc > 0.0) & (e2 >= 0.0) & (e2 <= 1.0)
+    ok3 = (disc > 0.0) & (e3 >= 0.0) & (e3 <= 1.0)
+    v1 = q_des_fn(q0, Tqd0, TTqdd0, ka, jnp.zeros_like(ka))
+    v4 = q_des_fn(q0, Tqd0, TTqdd0, ka, jnp.ones_like(ka))
+    v2 = q_des_fn(q0, Tqd0, TTqdd0, ka, jnp.clip(e2, 0.0, 1.0))
+    v3 = q_des_fn(q0, Tqd0, TTqdd0, ka, jnp.clip(e3, 0.0, 1.0))
+    big = jnp.asarray(1e30, v1.dtype)
+    mn = jnp.minimum(
+        jnp.minimum(v1, v4),
+        jnp.minimum(jnp.where(ok2, v2, big), jnp.where(ok3, v3, big)),
+    )
+    mx = jnp.maximum(
+        jnp.maximum(v1, v4),
+        jnp.maximum(jnp.where(ok2, v2, -big), jnp.where(ok3, v3, -big)),
+    )
+    return mn, mx
+
+
+def joint_velocity_extrema(jrs: BezierJRS, k: jnp.ndarray):
+    """(min_qd, max_qd) in rad/s over the whole trajectory (Trajectory.cu:399-431)."""
+    q0, Tqd0, TTqdd0 = jrs.q0, jrs.Tqd0, jrs.TTqdd0
+    ka = jrs.k_range * k
+    disc = 6.0 * (
+        150.0 * ka**2
+        - 180.0 * ka * Tqd0
+        - 20.0 * ka * TTqdd0
+        + 54.0 * Tqd0**2
+        + 14.0 * Tqd0 * TTqdd0
+        + TTqdd0**2
+    )
+    den = 10.0 * (6.0 * Tqd0 - 12.0 * ka + TTqdd0)
+    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    root = _safe_sqrt(disc)
+    e2 = (18.0 * Tqd0 - 30.0 * ka + 4.0 * TTqdd0 + root) / den
+    e3 = (18.0 * Tqd0 - 30.0 * ka + 4.0 * TTqdd0 - root) / den
+    ok2 = (disc > 0.0) & (e2 >= 0.0) & (e2 <= 1.0)
+    ok3 = (disc > 0.0) & (e3 >= 0.0) & (e3 <= 1.0)
+    v1 = qd_des_fn(q0, Tqd0, TTqdd0, ka, jnp.zeros_like(ka))
+    v4 = qd_des_fn(q0, Tqd0, TTqdd0, ka, jnp.ones_like(ka))
+    v2 = qd_des_fn(q0, Tqd0, TTqdd0, ka, jnp.clip(e2, 0.0, 1.0))
+    v3 = qd_des_fn(q0, Tqd0, TTqdd0, ka, jnp.clip(e3, 0.0, 1.0))
+    big = jnp.asarray(1e30, v1.dtype)
+    mn = jnp.minimum(
+        jnp.minimum(v1, v4),
+        jnp.minimum(jnp.where(ok2, v2, big), jnp.where(ok3, v3, big)),
+    )
+    mx = jnp.maximum(
+        jnp.maximum(v1, v4),
+        jnp.maximum(jnp.where(ok2, v2, -big), jnp.where(ok3, v3, -big)),
+    )
+    return mn / jrs.duration, mx / jrs.duration

@@ -1,0 +1,4 @@
+from armour_tpu.ops.interval import Interval
+from armour_tpu.ops.pz import PZ
+
+__all__ = ["Interval", "PZ"]

@@ -1,0 +1,115 @@
+"""Batched interval arithmetic on (lo, hi) array pairs.
+
+TPU-native replacement for the reference's Boost interval scalars
+(`kinova_planner_realtime/Headers.h:27-53`): plain f32/f64 arrays with
+outward slack applied at the constraint layer instead of per-op directed
+rounding (see PlannerConfig.*_numeric_slack).
+
+All operations broadcast over arbitrary leading batch dimensions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class Interval(NamedTuple):
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+
+    @staticmethod
+    def point(x) -> "Interval":
+        x = jnp.asarray(x)
+        return Interval(x, x)
+
+    @staticmethod
+    def from_center_radius(c, r) -> "Interval":
+        c = jnp.asarray(c)
+        r = jnp.asarray(r)
+        return Interval(c - r, c + r)
+
+    @property
+    def center(self):
+        return 0.5 * (self.lo + self.hi)
+
+    @property
+    def radius(self):
+        return 0.5 * (self.hi - self.lo)
+
+    def __add__(self, o):
+        if isinstance(o, Interval):
+            return Interval(self.lo + o.lo, self.hi + o.hi)
+        return Interval(self.lo + o, self.hi + o)
+
+    __radd__ = __add__
+
+    def __neg__(self):
+        return Interval(-self.hi, -self.lo)
+
+    def __sub__(self, o):
+        return self + (-o if isinstance(o, Interval) else -jnp.asarray(o))
+
+    def __rsub__(self, o):
+        return (-self) + o
+
+    def __mul__(self, o):
+        if isinstance(o, Interval):
+            p1 = self.lo * o.lo
+            p2 = self.lo * o.hi
+            p3 = self.hi * o.lo
+            p4 = self.hi * o.hi
+            return Interval(
+                jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+            )
+        o = jnp.asarray(o)
+        a = self.lo * o
+        b = self.hi * o
+        return Interval(jnp.minimum(a, b), jnp.maximum(a, b))
+
+    __rmul__ = __mul__
+
+    def square(self) -> "Interval":
+        """x^2 with the tight [0, ...] lower bound when 0 is inside."""
+        lo2 = self.lo * self.lo
+        hi2 = self.hi * self.hi
+        hi = jnp.maximum(lo2, hi2)
+        lo = jnp.where((self.lo <= 0.0) & (self.hi >= 0.0), 0.0, jnp.minimum(lo2, hi2))
+        return Interval(lo, hi)
+
+    def abs_sup(self):
+        """sup |x| over the interval."""
+        return jnp.maximum(jnp.abs(self.lo), jnp.abs(self.hi))
+
+    def union(self, o: "Interval") -> "Interval":
+        return Interval(jnp.minimum(self.lo, o.lo), jnp.maximum(self.hi, o.hi))
+
+    def contains(self, x, atol=0.0):
+        return (self.lo - atol <= x) & (x <= self.hi + atol)
+
+
+_TWO_PI = 2.0 * jnp.pi
+
+
+def icos(x: Interval) -> Interval:
+    """Tight range of cos over an interval (handles period wrap)."""
+    # shift lower bound into [0, 2pi)
+    base = jnp.floor(x.lo / _TWO_PI) * _TWO_PI
+    a = x.lo - base
+    b = x.hi - base
+    width_ge_period = (x.hi - x.lo) >= _TWO_PI
+    ca, cb = jnp.cos(a), jnp.cos(b)
+    lo = jnp.minimum(ca, cb)
+    hi = jnp.maximum(ca, cb)
+    # cos attains +1 at 0, 2pi, 4pi; a in [0, 2pi)
+    has_max = (b >= _TWO_PI) | width_ge_period | (a == 0.0)
+    # cos attains -1 at pi, 3pi
+    has_min = ((a <= jnp.pi) & (b >= jnp.pi)) | (b >= 3.0 * jnp.pi) | width_ge_period
+    return Interval(jnp.where(has_min, -1.0, lo), jnp.where(has_max, 1.0, hi))
+
+
+def isin(x: Interval) -> Interval:
+    """Tight range of sin over an interval."""
+    return icos(Interval(x.lo - 0.5 * jnp.pi, x.hi - 0.5 * jnp.pi))

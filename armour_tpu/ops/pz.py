@@ -1,0 +1,509 @@
+"""Static-basis polynomial zonotopes — the TPU-native set-arithmetic engine.
+
+Design (SURVEY.md §7, replacing `kinova_planner_realtime/PZsparse.{h,cu}`):
+
+The reference tracks 42 symbolic variables (k, qde, qdae, qddae, cosqe,
+sinqe per joint) in hash-sorted sparse monomial vectors with data-dependent
+coefficient sweeping (`PZsparse.cu:284-350`).  That representation is
+pointer-chasing and serial — wrong shape for a TPU.
+
+Two observations let us collapse it to dense, statically-shaped tensors:
+
+1.  Every monomial that contains a tracking-error variable is ultimately
+    folded into an independent interval radius before the NLP consumes the
+    set (`PZsparse.cu:352-368` ``reduce``).  The only reason the reference
+    carries them symbolically is exact cancellation in the disturbance
+    computation u_interval - u_nominal (`armour_main.cu:134-137`).  But RNEA
+    torque is *linear in the inertial parameters*, so the disturbance can be
+    computed directly by one RNEA pass over zero-centered interval inertia
+    deltas — no cancellation needed (see dynamics/pz_rnea.py).  Hence error
+    variables are folded into the radius *eagerly*, at construction.
+
+2.  What remains is a polynomial over the 7 trajectory parameters k (plus 3
+    reserved link-shape generator variables), degree-capped.  With
+    k_range = pi/48 every degree-3 k-coefficient is below the reference's
+    5e-4 sweep threshold (`Parameters.h:10`), so a static degree cap of 2 is
+    the fixed-budget equivalent of the reference's adaptive ``simplify``.
+
+A PZ value is then::
+
+    {x : x = c + sum_i G_i * m_i(k, s) + [-r, r],   k in [-1,1]^7, s in [-1,1]^3}
+
+with ``c: (*batch, *val)``, ``G: (NG, *batch, *val)``, ``r: (*batch, *val)``
+and a *static* monomial basis (tuple of ((var, exp), ...) keys) shared by
+every batch element.  The basis bookkeeping happens once at trace time in
+numpy; compiled code is pure batched tensor arithmetic — XLA-fusable, MXU/
+VPU-tileable, vmap/shard_map-able over worlds.
+
+Slicing at a concrete k (`PZsparse.cu:404-435`) is a tiny tensor
+contraction, and its k-gradient (hand-derived over 120 lines in
+`PZsparse.cu:437-555`) comes for free from autodiff.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# variable index space: 0..n_factors-1 are trajectory parameters k_i;
+# SHAPE_X.. are the reserved link-shape generator variables that must survive
+# forward kinematics symbolically (reference tags them with error-variable
+# ids instead, `Dynamics.cu:51-66`).
+SHAPE_X = 100
+SHAPE_Y = 101
+SHAPE_Z = 102
+_SHAPE_VARS = (SHAPE_X, SHAPE_Y, SHAPE_Z)
+
+MonKey = tuple  # tuple[(var:int, exp:int), ...] sorted by var
+
+DEFAULT_MAX_DEGREE = 2
+
+
+def _k_degree(key: MonKey) -> int:
+    return sum(e for v, e in key if v < SHAPE_X)
+
+
+def _shape_degree(key: MonKey) -> int:
+    return sum(e for v, e in key if v >= SHAPE_X)
+
+
+def _mul_keys(a: MonKey, b: MonKey) -> MonKey:
+    d: dict[int, int] = {}
+    for v, e in a:
+        d[v] = d.get(v, 0) + e
+    for v, e in b:
+        d[v] = d.get(v, 0) + e
+    return tuple(sorted(d.items()))
+
+
+def _keep(key: MonKey, max_deg: int) -> bool:
+    return _k_degree(key) <= max_deg and _shape_degree(key) <= 1
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PZ:
+    """Polynomial zonotope with a static monomial basis.
+
+    ``nval`` is the number of trailing value dimensions (0 scalar, 1 vector,
+    2 matrix); any leading dimensions are batch and broadcast through every
+    operation.
+    """
+
+    c: jnp.ndarray
+    G: jnp.ndarray  # (NG, *c.shape); NG == len(basis), may be 0
+    r: jnp.ndarray
+    basis: tuple = dataclasses.field(default=(), metadata={"static": True})
+    nval: int = 0
+
+    # -- pytree protocol -------------------------------------------------
+    def tree_flatten(self):
+        return (self.c, self.G, self.r), (self.basis, self.nval)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        c, G, r = children
+        return cls(c, G, r, aux[0], aux[1])
+
+    # -- constructors ----------------------------------------------------
+    @staticmethod
+    def const(c, nval: int | None = None, r=None) -> "PZ":
+        c = jnp.asarray(c)
+        if nval is None:
+            nval = c.ndim
+        r_arr = jnp.zeros_like(c) if r is None else jnp.broadcast_to(jnp.asarray(r), c.shape)
+        return PZ(c, jnp.zeros((0,) + c.shape, c.dtype), r_arr, (), nval)
+
+    @staticmethod
+    def from_uncertain(c, uncertainty_percent: float, nval: int | None = None) -> "PZ":
+        """center +/- uncertainty*|center| as pure interval (PZsparse.cu:93-98)."""
+        c = jnp.asarray(c)
+        return PZ.const(c, nval=nval, r=uncertainty_percent * jnp.abs(c))
+
+    @staticmethod
+    def from_gens(c, keys: Sequence[MonKey], coeffs: Sequence, r=None, nval: int | None = None) -> "PZ":
+        """Build from explicit monomials; duplicate keys are merged."""
+        c = jnp.asarray(c)
+        if nval is None:
+            nval = c.ndim
+        merged: dict[MonKey, object] = {}
+        for key, g in zip(keys, coeffs):
+            key = tuple(sorted((v, e) for v, e in key if e > 0))
+            g = jnp.broadcast_to(jnp.asarray(g), c.shape)
+            merged[key] = merged[key] + g if key in merged else g
+        r_arr = jnp.zeros_like(c) if r is None else jnp.broadcast_to(jnp.asarray(r), c.shape)
+        if () in merged:  # constant monomial folds into the center
+            c = c + merged.pop(())
+        basis = tuple(sorted(merged.keys()))
+        if basis:
+            G = jnp.stack([merged[k] for k in basis])
+        else:
+            G = jnp.zeros((0,) + c.shape, c.dtype)
+        return PZ(c, G, r_arr, basis, nval)
+
+    # -- helpers ---------------------------------------------------------
+    @property
+    def ngens(self) -> int:
+        return len(self.basis)
+
+    @property
+    def batch_shape(self):
+        return self.c.shape[: self.c.ndim - self.nval]
+
+    @property
+    def val_shape(self):
+        return self.c.shape[self.c.ndim - self.nval :]
+
+    def abs_sum(self) -> jnp.ndarray:
+        """|c| + sum_i |G_i| (radius contribution of the polynomial part)."""
+        s = jnp.abs(self.c)
+        if self.ngens:
+            s = s + jnp.sum(jnp.abs(self.G), axis=0)
+        return s
+
+    def _with_basis(self, new_basis: tuple) -> jnp.ndarray:
+        """Return G re-indexed onto a superset basis (static scatter)."""
+        if new_basis == self.basis:
+            return self.G
+        G = jnp.zeros((len(new_basis),) + self.c.shape, self.c.dtype)
+        if self.ngens:
+            idx = np.array([new_basis.index(k) for k in self.basis])
+            G = G.at[idx].set(self.G)
+        return G
+
+    # -- linear ops ------------------------------------------------------
+    def __neg__(self) -> "PZ":
+        return PZ(-self.c, -self.G, self.r, self.basis, self.nval)
+
+    def __add__(self, other) -> "PZ":
+        if not isinstance(other, PZ):
+            return PZ(self.c + other, self.G, self.r, self.basis, self.nval)
+        assert self.nval == other.nval
+        basis = tuple(sorted(set(self.basis) | set(other.basis)))
+        c = self.c + other.c
+        Ga = self._broadcast_like(c)._with_basis(basis)
+        Gb = other._broadcast_like(c)._with_basis(basis)
+        r = jnp.broadcast_to(self.r, c.shape) + jnp.broadcast_to(other.r, c.shape)
+        return PZ(c, Ga + Gb, r, basis, self.nval)
+
+    __radd__ = __add__
+
+    def __sub__(self, other) -> "PZ":
+        return self + (-other if isinstance(other, PZ) else -jnp.asarray(other))
+
+    def __rsub__(self, other):
+        return (-self) + other
+
+    def _broadcast_like(self, c_target) -> "PZ":
+        if self.c.shape == c_target.shape:
+            return self
+        c = jnp.broadcast_to(self.c, c_target.shape)
+        G = jnp.broadcast_to(self.G, (self.ngens,) + c_target.shape)
+        r = jnp.broadcast_to(self.r, c_target.shape)
+        return PZ(c, G, r, self.basis, self.nval)
+
+    def scale(self, a: float) -> "PZ":
+        """Multiply by an exact scalar constant."""
+        return PZ(self.c * a, self.G * a, self.r * abs(a), self.basis, self.nval)
+
+    def __mul__(self, a):
+        if isinstance(a, PZ):
+            return pz_mul(self, a)
+        return self.scale(a)
+
+    __rmul__ = __mul__
+
+    # -- reductions ------------------------------------------------------
+    def reduce(self) -> "PZ":
+        """Keep only k-dependent monomials; fold the rest into the radius
+        (PZsparse.cu:352-368)."""
+        keep = [i for i, k in enumerate(self.basis) if _shape_degree(k) == 0]
+        drop = [i for i in range(self.ngens) if i not in keep]
+        r = self.r
+        if drop:
+            r = r + jnp.sum(jnp.abs(self.G[np.array(drop)]), axis=0)
+        basis = tuple(self.basis[i] for i in keep)
+        G = self.G[np.array(keep)] if keep else jnp.zeros((0,) + self.c.shape, self.c.dtype)
+        return PZ(self.c, G, r, basis, self.nval)
+
+    def reduce_link(self):
+        """Split a 3-vector link PZ into (k-only PZ, 3x6 independent
+        generator matrix) as required by obstacle buffering
+        (PZsparse.cu:370-402).
+
+        Columns 0-2: the three link-shape generators (pure shape-variable
+        monomials); columns 3-5: diag of the independent radius.  Mixed
+        k x shape monomials are folded into the radius.
+        """
+        assert self.nval == 1 and self.val_shape == (3,)
+        k_idx, shape_cols, sweep_idx = [], {}, []
+        for i, key in enumerate(self.basis):
+            sd = _shape_degree(key)
+            if sd == 0:
+                k_idx.append(i)
+            elif sd == 1 and _k_degree(key) == 0 and len(key) == 1:
+                shape_cols[key[0][0]] = i
+            else:
+                sweep_idx.append(i)
+        r = self.r
+        if sweep_idx:
+            r = r + jnp.sum(jnp.abs(self.G[np.array(sweep_idx)]), axis=0)
+        basis = tuple(self.basis[i] for i in k_idx)
+        G = self.G[np.array(k_idx)] if k_idx else jnp.zeros((0,) + self.c.shape, self.c.dtype)
+        pz_k = PZ(self.c, G, r, basis, 1)
+
+        batch = self.batch_shape
+        gens = jnp.zeros(batch + (3, 6), self.c.dtype)
+        for col, var in enumerate(_SHAPE_VARS):
+            if var in shape_cols:
+                gens = gens.at[..., :, col].set(self.G[shape_cols[var]])
+        for a in range(3):
+            gens = gens.at[..., a, 3 + a].set(r[..., a])
+        return pz_k, gens
+
+    def to_interval(self):
+        """Conservative interval hull: c +/- (r + sum |G_i|)
+        (PZsparse.cu:557-576)."""
+        rad = self.r
+        if self.ngens:
+            rad = rad + jnp.sum(jnp.abs(self.G), axis=0)
+        return self.c - rad, self.c + rad
+
+    # -- slicing ---------------------------------------------------------
+    def monomials(self, k: jnp.ndarray) -> jnp.ndarray:
+        """Evaluate the basis monomials at trajectory parameter k: (NG,)."""
+        assert all(_shape_degree(key) == 0 for key in self.basis), (
+            "call reduce()/reduce_link() before slicing"
+        )
+        if not self.ngens:
+            return jnp.zeros((0,), self.c.dtype)
+        cols = []
+        for key in self.basis:
+            m = jnp.asarray(1.0, dtype=k.dtype)
+            for v, e in key:
+                m = m * k[v] ** e
+            cols.append(m)
+        return jnp.stack(cols)
+
+    def slice(self, k: jnp.ndarray):
+        """Slice at concrete k: returns (center(k), radius).
+
+        center(k) is differentiable in k (autodiff replaces the
+        hand-written gradient slices `PZsparse.cu:437-555`).
+        """
+        m = self.monomials(k)
+        c = self.c
+        if self.ngens:
+            c = c + jnp.tensordot(m, self.G, axes=(0, 0))
+        return c, self.r
+
+
+# ---------------------------------------------------------------------------
+# products
+# ---------------------------------------------------------------------------
+
+def _combine(
+    a: PZ,
+    b: PZ,
+    prod: Callable,
+    prod_abs: Callable,
+    nval_out: int,
+    max_deg: int,
+) -> PZ:
+    """Generic sound product of two PZs under a bilinear value-product.
+
+    ``prod(x, y)`` computes the value product with batch broadcasting;
+    ``prod_abs(x, y)`` is its monotone absolute-value majorant (for radius
+    propagation).  Mirrors `PZsparse.cu:864-994` with eager static sweeping.
+    """
+    c_out = prod(a.c, b.c)
+    terms: dict[MonKey, object] = {}
+    swept = jnp.zeros_like(c_out)
+
+    def _acc(key: MonKey, val):
+        nonlocal swept
+        if _keep(key, max_deg):
+            terms[key] = terms[key] + val if key in terms else val
+        else:
+            swept = swept + jnp.abs(val)
+
+    # gen x center and center x gen
+    for i, key in enumerate(a.basis):
+        _acc(key, prod(a.G[i], b.c))
+    for j, key in enumerate(b.basis):
+        _acc(key, prod(a.c, b.G[j]))
+    # gen x gen
+    for i, ka in enumerate(a.basis):
+        for j, kb in enumerate(b.basis):
+            _acc(_mul_keys(ka, kb), prod(a.G[i], b.G[j]))
+
+    # radius: r_a x |b|, |a| x r_b, r_a x r_b  (PZsparse.cu:944-989)
+    r_out = (
+        prod_abs(a.abs_sum(), jnp.broadcast_to(b.r, b.c.shape))
+        + prod_abs(jnp.broadcast_to(a.r, a.c.shape), b.abs_sum())
+        + prod_abs(jnp.broadcast_to(a.r, a.c.shape), jnp.broadcast_to(b.r, b.c.shape))
+        + swept
+    )
+
+    basis = tuple(sorted(terms.keys()))
+    if basis:
+        G = jnp.stack([terms[k] for k in basis])
+    else:
+        G = jnp.zeros((0,) + c_out.shape, c_out.dtype)
+    return PZ(c_out, G, jnp.broadcast_to(r_out, c_out.shape), basis, nval_out)
+
+
+def pz_mul(a: PZ, b: PZ, max_deg: int = DEFAULT_MAX_DEGREE) -> PZ:
+    """Elementwise / scalar-broadcast product."""
+    nval = max(a.nval, b.nval)
+    return _combine(a, b, jnp.multiply, jnp.multiply, nval, max_deg)
+
+
+def pz_matmat(a: PZ, b: PZ, max_deg: int = DEFAULT_MAX_DEGREE) -> PZ:
+    """(..., 3, 3) @ (..., 3, 3)."""
+    assert a.nval == 2 and b.nval == 2
+    prod = lambda x, y: jnp.einsum("...ab,...bc->...ac", x, y)
+    return _combine(a, b, prod, prod, 2, max_deg)
+
+
+def pz_matvec(a: PZ, b: PZ, max_deg: int = DEFAULT_MAX_DEGREE) -> PZ:
+    """(..., 3, 3) @ (..., 3)."""
+    assert a.nval == 2 and b.nval == 1
+    prod = lambda x, y: jnp.einsum("...ab,...b->...a", x, y)
+    return _combine(a, b, prod, prod, 1, max_deg)
+
+
+def _cross(x, y):
+    return jnp.cross(x, y)
+
+
+def _cross_abs(x, y):
+    """Monotone majorant of |cross(x, y)| for nonneg x, y."""
+    x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
+    y0, y1, y2 = y[..., 0], y[..., 1], y[..., 2]
+    return jnp.stack(
+        [x1 * y2 + x2 * y1, x2 * y0 + x0 * y2, x0 * y1 + x1 * y0], axis=-1
+    )
+
+
+def pz_cross(a: PZ, b: PZ, max_deg: int = DEFAULT_MAX_DEGREE) -> PZ:
+    """cross((..., 3), (..., 3)) (PZsparse.cu:1134-1151)."""
+    assert a.nval == 1 and b.nval == 1
+    return _combine(a, b, _cross, _cross_abs, 1, max_deg)
+
+
+def pz_dot(a: PZ, b: PZ, max_deg: int = DEFAULT_MAX_DEGREE) -> PZ:
+    """dot((..., 3), (..., 3)) -> scalar."""
+    assert a.nval == 1 and b.nval == 1
+    prod = lambda x, y: jnp.einsum("...a,...a->...", x, y)
+    return _combine(a, b, prod, prod, 0, max_deg)
+
+
+def pz_stack(pzs: Sequence[PZ], axis: int = -1) -> PZ:
+    """Stack scalar PZs into a vector PZ (PZsparse.cu:1087-1116)."""
+    assert all(p.nval == pzs[0].nval for p in pzs)
+    basis = tuple(sorted(set().union(*[set(p.basis) for p in pzs])))
+    cs = [p.c for p in pzs]
+    shape = jnp.broadcast_shapes(*[c.shape for c in cs])
+    cs = [jnp.broadcast_to(c, shape) for c in cs]
+    Gs = [p._broadcast_like(jnp.zeros(shape))._with_basis(basis) for p in pzs]
+    rs = [jnp.broadcast_to(p.r, shape) for p in pzs]
+    ax = axis if axis >= 0 else len(shape) + 1 + axis
+    return PZ(
+        jnp.stack(cs, axis=ax),
+        jnp.stack(Gs, axis=ax + 1),
+        jnp.stack(rs, axis=ax),
+        basis,
+        pzs[0].nval + 1,
+    )
+
+
+def pz_component(p: PZ, idx) -> PZ:
+    """Extract a component (e.g. one row of a vector PZ) -> lower-nval PZ."""
+    if not isinstance(idx, tuple):
+        idx = (idx,)
+    sl = (Ellipsis,) + idx
+    return PZ(p.c[sl], p.G[sl], p.r[sl], p.basis, p.nval - len(idx))
+
+
+def pz_set_component(p: PZ, idx, q: PZ) -> PZ:
+    """Add a scalar PZ into one entry of a vector/matrix PZ
+    (PZsparse.cu:1068-1085 ``addOneDimPZ``)."""
+    if not isinstance(idx, tuple):
+        idx = (idx,)
+    basis = tuple(sorted(set(p.basis) | set(q.basis)))
+    Gp = p._with_basis(basis)
+    Gq = q._with_basis(basis)
+    sl = (Ellipsis,) + idx
+    c = p.c.at[sl].add(q.c)
+    G = Gp.at[(slice(None),) + (Ellipsis,) + idx].add(Gq)
+    r = p.r.at[sl].add(q.r)
+    return PZ(c, G, r, basis, p.nval)
+
+
+def pz_zeros_vec(batch_shape, dtype=jnp.float64) -> PZ:
+    z = jnp.zeros(batch_shape + (3,), dtype)
+    return PZ(z, jnp.zeros((0,) + z.shape, dtype), jnp.zeros_like(z), (), 1)
+
+
+def rot_from_cos_sin(cos_pz: PZ, sin_pz: PZ, axis: int, fixed_rot: np.ndarray) -> PZ:
+    """Rotation-matrix PZ: fixed_rot @ R_axis(cos, sin).
+
+    ``axis`` follows the reference convention: 1/2/3 = x/y/z, negative =
+    reversed direction (sin negated).  Mirrors `PZsparse.cu:179-250`.
+    """
+    assert cos_pz.nval == 0 and sin_pz.nval == 0
+    if axis < 0:
+        sin_pz = -sin_pz
+        axis = -axis
+    a = axis - 1
+    i1, i2 = [x for x in range(3) if x != a]
+
+    def embed(cv, sv, signed: bool):
+        """Place cos/sin values into the 3x3 axis-rotation pattern."""
+        shape = jnp.broadcast_shapes(cv.shape, sv.shape)
+        cv = jnp.broadcast_to(cv, shape)
+        sv = jnp.broadcast_to(sv, shape)
+        M = jnp.zeros(shape + (3, 3), cv.dtype)
+        M = M.at[..., i1, i1].set(cv)
+        M = M.at[..., i2, i2].set(cv)
+        sgn = -1.0 if signed else 1.0
+        # axis=2 (y) has the transposed sign pattern (PZsparse.cu:234-239)
+        if a == 1:
+            M = M.at[..., i1, i2].set(sv)
+            M = M.at[..., i2, i1].set(sgn * sv)
+        else:
+            M = M.at[..., i1, i2].set(sgn * sv)
+            M = M.at[..., i2, i1].set(sv)
+        return M
+
+    c = embed(cos_pz.c, sin_pz.c, True).at[..., a, a].set(1.0)
+
+    keys, coeffs = [], []
+    for i, key in enumerate(cos_pz.basis):
+        keys.append(key)
+        coeffs.append(embed(cos_pz.G[i], jnp.zeros_like(cos_pz.G[i]), True))
+    for i, key in enumerate(sin_pz.basis):
+        keys.append(key)
+        coeffs.append(embed(jnp.zeros_like(sin_pz.G[i]), sin_pz.G[i], True))
+
+    r = embed(cos_pz.r, sin_pz.r, False)
+
+    R_axis = PZ.from_gens(c, keys, coeffs, r=r, nval=2)
+    F = PZ.const(jnp.asarray(fixed_rot, c.dtype), nval=2)
+    return pz_matmat(F, R_axis)
+
+
+def pz_transpose(p: PZ) -> PZ:
+    assert p.nval == 2
+    return PZ(
+        jnp.swapaxes(p.c, -1, -2),
+        jnp.swapaxes(p.G, -1, -2),
+        jnp.swapaxes(p.r, -1, -2),
+        p.basis,
+        2,
+    )

@@ -1,0 +1,4 @@
+from armour_tpu.robots.spec import RobotSpec
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+__all__ = ["RobotSpec", "kinova_gen3_spec"]

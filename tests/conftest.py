@@ -1,0 +1,28 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (for sharding tests) and f64
+enabled so containment oracles are checked at full precision; the TPU
+deployment path uses f32 + numeric slack (see PlannerConfig).
+"""
+
+import os
+
+# force CPU even when the shell exports JAX_PLATFORMS=axon (TPU tunnel):
+# eager per-op dispatch through the tunnel is orders of magnitude too slow
+# for property tests, and tests want f64.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

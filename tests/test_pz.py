@@ -1,0 +1,255 @@
+"""Property tests for the static-basis PZ engine.
+
+Soundness oracle: for random concrete assignments of the symbolic variables
+(k in [-1,1]^7, shape vars in [-1,1]^3, independent noise in [-1,1]), the
+concrete value propagated through plain arithmetic must lie inside the
+interval produced by the PZ pipeline.  This mirrors the reference's
+containment validation strategy (`PZ_tests.cu` + `debug_script.m`).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.ops.pz import (
+    PZ,
+    SHAPE_X,
+    SHAPE_Y,
+    SHAPE_Z,
+    pz_cross,
+    pz_dot,
+    pz_matmat,
+    pz_matvec,
+    pz_mul,
+    pz_component,
+    pz_set_component,
+    pz_stack,
+    pz_transpose,
+    rot_from_cos_sin,
+)
+
+NK = 7
+
+
+def random_pz(rng, val_shape=(), batch_shape=(), n_gens=4, with_shape_var=False, rfrac=0.1):
+    shape = batch_shape + val_shape
+    c = rng.normal(size=shape)
+    keys, coeffs = [], []
+    for _ in range(n_gens):
+        v = rng.integers(0, NK)
+        keys.append(((int(v), 1),))
+        coeffs.append(0.3 * rng.normal(size=shape))
+    if with_shape_var:
+        v = [SHAPE_X, SHAPE_Y, SHAPE_Z][rng.integers(0, 3)]
+        keys.append(((v, 1),))
+        coeffs.append(0.3 * rng.normal(size=shape))
+    r = rfrac * np.abs(rng.normal(size=shape))
+    return PZ.from_gens(c, keys, coeffs, r=r, nval=len(val_shape))
+
+
+def eval_concrete(pz: PZ, k, s, noise):
+    """Concrete point inside the set: c + sum G_i m_i + noise*r, |noise|<=1."""
+    val = np.array(pz.c)
+    full = np.concatenate([k, np.zeros(200 - NK)])
+    full[SHAPE_X], full[SHAPE_Y], full[SHAPE_Z] = s
+    for i, key in enumerate(pz.basis):
+        m = 1.0
+        for v, e in key:
+            m *= full[v] ** e
+        val = val + m * np.array(pz.G[i])
+    return val + noise * np.array(pz.r)
+
+
+def interval_of(pz: PZ):
+    lo, hi = pz.to_interval()
+    return np.array(lo), np.array(hi)
+
+
+def assert_contains(pz: PZ, value, tol=1e-10):
+    lo, hi = interval_of(pz)
+    assert np.all(value >= lo - tol), f"below: {np.min(value - lo)}"
+    assert np.all(value <= hi + tol), f"above: {np.max(hi - value)}"
+
+
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "cross", "dot", "matvec", "matmat"])
+def test_containment_through_ops(rng, op):
+    for trial in range(6):
+        if op in ("add", "sub", "mul"):
+            va = vb = ()
+        elif op in ("cross", "dot"):
+            va = vb = (3,)
+        elif op == "matvec":
+            va, vb = (3, 3), (3,)
+        else:
+            va, vb = (3, 3), (3, 3)
+        a = random_pz(rng, va)
+        b = random_pz(rng, vb)
+        k = rng.uniform(-1, 1, NK)
+        s = rng.uniform(-1, 1, 3)
+        na = rng.uniform(-1, 1, a.c.shape)
+        nb = rng.uniform(-1, 1, b.c.shape)
+        xa = eval_concrete(a, k, s, na)
+        xb = eval_concrete(b, k, s, nb)
+        if op == "add":
+            out, ref = a + b, xa + xb
+        elif op == "sub":
+            out, ref = a - b, xa - xb
+        elif op == "mul":
+            out, ref = pz_mul(a, b), xa * xb
+        elif op == "cross":
+            out, ref = pz_cross(a, b), np.cross(xa, xb)
+        elif op == "dot":
+            out, ref = pz_dot(a, b), np.dot(xa, xb)
+        elif op == "matvec":
+            out, ref = pz_matvec(a, b), xa @ xb
+        else:
+            out, ref = pz_matmat(a, b), xa @ xb
+        assert_contains(out, ref)
+
+
+def test_slice_containment(rng):
+    """slice(k) must contain every concrete value at that k."""
+    for _ in range(4):
+        a = random_pz(rng, (3,))
+        b = random_pz(rng, (3,))
+        prod = pz_cross(a, b)
+        k = rng.uniform(-1, 1, NK)
+        c_k, r_k = prod.reduce().slice(jnp.asarray(k))
+        for _ in range(5):
+            na = rng.uniform(-1, 1, 3)
+            nb = rng.uniform(-1, 1, 3)
+            ref = np.cross(eval_concrete(a, k, (0, 0, 0), na), eval_concrete(b, k, (0, 0, 0), nb))
+            assert np.all(ref >= np.array(c_k) - np.array(r_k) - 1e-10)
+            assert np.all(ref <= np.array(c_k) + np.array(r_k) + 1e-10)
+
+
+def test_slice_gradient_matches_fd(rng):
+    """Autodiff through slice == finite differences (replaces the
+    hand-written gradient slices PZsparse.cu:437-555)."""
+    import jax
+
+    a = random_pz(rng, ())
+    b = random_pz(rng, ())
+    prod = pz_mul(a, b).reduce()
+    k0 = jnp.asarray(rng.uniform(-0.9, 0.9, NK))
+
+    f = lambda k: prod.slice(k)[0]
+    g = jax.grad(f)(k0)
+    eps = 1e-6
+    for j in range(NK):
+        kp = k0.at[j].add(eps)
+        km = k0.at[j].add(-eps)
+        fd = (f(kp) - f(km)) / (2 * eps)
+        assert abs(fd - g[j]) < 1e-5
+
+
+def test_degree_cap_sweeps_soundly(rng):
+    """Products beyond the degree cap are folded into the radius, never lost."""
+    a = random_pz(rng, (), n_gens=6)
+    b = random_pz(rng, (), n_gens=6)
+    c = random_pz(rng, (), n_gens=6)
+    out = pz_mul(pz_mul(a, b), c)  # cubic products must be swept, not dropped
+    for _ in range(10):
+        k = rng.uniform(-1, 1, NK)
+        na, nb, nc = rng.uniform(-1, 1, 3)
+        ref = (
+            eval_concrete(a, k, (0, 0, 0), na)
+            * eval_concrete(b, k, (0, 0, 0), nb)
+            * eval_concrete(c, k, (0, 0, 0), nc)
+        )
+        assert_contains(out, ref)
+
+
+def test_reduce_link(rng):
+    """reduce_link extracts the 3 shape-generator columns + radius diag."""
+    c = rng.normal(size=3)
+    gx = np.array([0.1, 0.0, 0.0])
+    keys = [((0, 1),), ((SHAPE_X, 1),), ((SHAPE_Y, 1),), ((SHAPE_Z, 1),)]
+    coeffs = [rng.normal(size=3), gx, np.array([0.0, 0.2, 0.0]), np.array([0.0, 0.0, 0.3])]
+    p = PZ.from_gens(c, keys, coeffs, r=np.array([0.01, 0.02, 0.03]), nval=1)
+    pk, gens = p.reduce_link()
+    assert pk.basis == (((0, 1),),)
+    gens = np.array(gens)
+    np.testing.assert_allclose(gens[:, 0], gx)
+    np.testing.assert_allclose(gens[:, 1], [0.0, 0.2, 0.0])
+    np.testing.assert_allclose(gens[:, 2], [0.0, 0.0, 0.3])
+    np.testing.assert_allclose(np.diag(gens[:, 3:]), [0.01, 0.02, 0.03])
+
+
+def test_rotation_pz_center():
+    """Zero-uncertainty rotation PZ center equals the numeric rotation."""
+    import math
+
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+
+    spec = kinova_gen3_spec()
+    fixed = spec.fixed_rotations()
+    theta = 0.37
+    cos_pz = PZ.const(jnp.asarray(math.cos(theta)))
+    sin_pz = PZ.const(jnp.asarray(math.sin(theta)))
+    for i in range(3):
+        R = rot_from_cos_sin(cos_pz, sin_pz, int(spec.axes[i]), fixed[i])
+        ct, st = math.cos(theta), math.sin(theta)
+        Rz = np.array([[ct, -st, 0], [st, ct, 0], [0, 0, 1]])
+        np.testing.assert_allclose(np.array(R.c), fixed[i] @ Rz, atol=1e-12)
+        assert np.all(np.array(R.r) == 0.0)
+
+
+def test_rotation_pz_negative_axis():
+    import math
+
+    theta = 0.5
+    cos_pz = PZ.const(jnp.asarray(math.cos(theta)))
+    sin_pz = PZ.const(jnp.asarray(math.sin(theta)))
+    Rp = rot_from_cos_sin(cos_pz, sin_pz, 3, np.eye(3))
+    Rn = rot_from_cos_sin(cos_pz, sin_pz, -3, np.eye(3))
+    ct, st = math.cos(-theta), math.sin(-theta)
+    np.testing.assert_allclose(np.array(Rn.c), np.array([[ct, -st, 0], [st, ct, 0], [0, 0, 1]]), atol=1e-12)
+    np.testing.assert_allclose(np.array(Rp.c) @ np.array(Rn.c), np.eye(3), atol=1e-12)
+
+
+def test_stack_component_roundtrip(rng):
+    parts = [random_pz(rng, ()) for _ in range(3)]
+    vec = pz_stack(parts)
+    assert vec.val_shape == (3,)
+    for i in range(3):
+        k = rng.uniform(-1, 1, NK)
+        comp = pz_component(vec, i)
+        ref = eval_concrete(parts[i], k, (0, 0, 0), 0.5)
+        assert_contains(comp, ref)
+
+
+def test_set_component(rng):
+    from armour_tpu.ops.pz import pz_zeros_vec
+
+    v = pz_zeros_vec((), dtype=jnp.float64)
+    s = random_pz(rng, ())
+    v2 = pz_set_component(v, 1, s)
+    k = rng.uniform(-1, 1, NK)
+    ref = eval_concrete(s, k, (0, 0, 0), 0.7)
+    lo, hi = v2.to_interval()
+    assert np.array(lo)[1] - 1e-12 <= ref <= np.array(hi)[1] + 1e-12
+    assert np.array(lo)[0] == 0.0 == np.array(hi)[0]
+
+
+def test_transpose(rng):
+    a = random_pz(rng, (3, 3))
+    at = pz_transpose(a)
+    k = rng.uniform(-1, 1, NK)
+    n = rng.uniform(-1, 1, (3, 3))
+    ref = eval_concrete(a, k, (0, 0, 0), n).T
+    assert_contains(at, ref)
+
+
+def test_batched_matches_unbatched(rng):
+    """A batch axis must be bit-identical to looping over elements."""
+    B = 4
+    a = random_pz(rng, (3, 3), batch_shape=(B,))
+    b = random_pz(rng, (3,), batch_shape=(B,))
+    out = pz_matvec(a, b)
+    for i in range(B):
+        ai = PZ(a.c[i], a.G[:, i], a.r[i], a.basis, 2)
+        bi = PZ(b.c[i], b.G[:, i], b.r[i], b.basis, 1)
+        oi = pz_matvec(ai, bi)
+        np.testing.assert_allclose(np.array(out.c[i]), np.array(oi.c))
+        np.testing.assert_allclose(np.array(out.r[i]), np.array(oi.r))
