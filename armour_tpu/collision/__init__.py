@@ -1,0 +1,7 @@
+from armour_tpu.collision.zonotope import (
+    ObstacleSet,
+    buffer_obstacles,
+    collision_constraint_values,
+)
+
+__all__ = ["ObstacleSet", "buffer_obstacles", "collision_constraint_values"]

@@ -1,0 +1,145 @@
+"""Buffered-zonotope obstacle constraints.
+
+TPU-native rebuild of the reference's CUDA kernels
+(`kinova_planner_realtime/CollisionChecking.{h,cu}`):
+
+- ``bufferObstaclesKernel`` + ``polytope_PH`` (H-rep of the Minkowski sum
+  obstacle ⊕ link-independent-generators, 36 = C(9,2) cross-product
+  hyperplanes) become one batched einsum/cross pipeline over the whole
+  (time x link x obstacle x pair) tensor — computed once per plan.
+- ``checkCollisionKernel`` (max-over-hyperplanes signed distance of the
+  k-sliced link center, with argmax gradient) becomes a jnp.max over the
+  hyperplane axis; autodiff through max reproduces the argmax-select
+  gradient trick (`CollisionChecking.cu:263-297`) for free.
+
+Obstacles are padded to a static ``max_obstacles`` and masked, keeping all
+shapes static for XLA.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# generator layout of a buffered obstacle: 3 obstacle + 3 link-shape +
+# 3 link-radius generators (CollisionChecking.h:6-7)
+N_BUF_GEN = 9
+_PAIRS = [(a, b) for a in range(N_BUF_GEN) for b in range(a + 1, N_BUF_GEN)]
+COMB_NUM = len(_PAIRS)  # 36
+_PAIR_A = np.array([p[0] for p in _PAIRS])
+_PAIR_B = np.array([p[1] for p in _PAIRS])
+
+_EXCLUDED = -1e8  # sentinel for degenerate / masked hyperplanes
+
+
+class ObstacleSet(NamedTuple):
+    """Static-capacity obstacle bank.
+
+    ``zonos``: (max_obstacles, 4, 3) rows = [center, g1, g2, g3]
+    ``mask``: (max_obstacles,) True for live obstacles
+    """
+
+    zonos: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.zonos.shape[0]
+
+    @staticmethod
+    def from_boxes(centers, side_lengths, capacity: int, dtype=jnp.float64) -> "ObstacleSet":
+        """Axis-aligned boxes (center + side lengths), the
+        `box_obstacle_zonotope` format (obstacles/box_obstacle_zonotope.m:21-26)."""
+        centers = np.atleast_2d(np.asarray(centers, dtype=np.float64))
+        sides = np.atleast_2d(np.asarray(side_lengths, dtype=np.float64))
+        n = centers.shape[0]
+        assert n <= capacity, f"{n} obstacles > capacity {capacity}"
+        z = np.zeros((capacity, 4, 3))
+        for i in range(n):
+            z[i, 0] = centers[i]
+            z[i, 1:] = np.diag(sides[i] * 0.5)
+        mask = np.zeros(capacity, bool)
+        mask[:n] = True
+        return ObstacleSet(jnp.asarray(z, dtype), jnp.asarray(mask))
+
+
+class BufferedHyperplanes(NamedTuple):
+    """Precomputed H-reps for every (time, link, obstacle).
+
+    A: (T, L, O, 36, 3) unit normals (0 for degenerate pairs)
+    d: (T, L, O, 36)     A . obstacle_center
+    delta: (T, L, O, 36) sum_j |A . g_j| over the 9 buffered generators
+    valid: (T, L, O, 36) normal is nonzero
+    """
+
+    A: jnp.ndarray
+    d: jnp.ndarray
+    delta: jnp.ndarray
+    valid: jnp.ndarray
+    obs_mask: jnp.ndarray  # (O,)
+
+
+def buffer_obstacles(
+    link_indep_gens: jnp.ndarray,  # (T, L, 3, 6) from reduce_link
+    obstacles: ObstacleSet,
+    slack: float = 0.0,
+) -> BufferedHyperplanes:
+    """Build the hyperplane bank (CollisionChecking.cu:136-228), batched.
+
+    ``slack`` inflates every obstacle's half-width (conservative padding for
+    reduced-precision arithmetic).
+    """
+    T, L = link_indep_gens.shape[:2]
+    O = obstacles.capacity
+    dtype = link_indep_gens.dtype
+
+    obs_c = obstacles.zonos[:, 0, :].astype(dtype)          # (O, 3)
+    obs_G = obstacles.zonos[:, 1:, :].astype(dtype)         # (O, 3 gens, 3)
+
+    link_G = jnp.swapaxes(link_indep_gens, -1, -2)          # (T, L, 6 gens, 3)
+
+    # buffered generator stack: (T, L, O, 9, 3)
+    obs_G_b = jnp.broadcast_to(obs_G[None, None], (T, L, O, 3, 3))
+    link_G_b = jnp.broadcast_to(link_G[:, :, None], (T, L, O, 6, 3))
+    G = jnp.concatenate([obs_G_b, link_G_b], axis=3)
+
+    # cross products of all generator pairs -> normals
+    g_a = G[..., _PAIR_A, :]                                # (T, L, O, 36, 3)
+    g_b = G[..., _PAIR_B, :]
+    C = jnp.cross(g_a, g_b)
+    norm = jnp.linalg.norm(C, axis=-1, keepdims=True)
+    valid = norm[..., 0] > 1e-12
+    A = jnp.where(valid[..., None], C / jnp.where(norm > 1e-12, norm, 1.0), 0.0)
+
+    d = jnp.einsum("tlopi,oi->tlop", A, obs_c)
+    delta = jnp.sum(jnp.abs(jnp.einsum("tlopi,tlogi->tlopg", A, G)), axis=-1) + slack
+
+    valid = valid & obstacles.mask[None, None, :, None]
+    return BufferedHyperplanes(A, d, delta, valid, obstacles.mask)
+
+
+def collision_constraint_values(
+    hp: BufferedHyperplanes,
+    link_centers: jnp.ndarray,  # (T, L, 3) k-sliced link centers
+) -> jnp.ndarray:
+    """Constraint values g(k): feasible (collision-free) iff g <= 0.
+
+    Semantics (CollisionChecking.cu:250-284): the link center is outside the
+    buffered obstacle iff some hyperplane separates it, i.e.
+    max_p max(+A.c - d - delta, -A.c + d - delta) >= 0.  The constraint
+    exported to the NLP is the negation: g = -max(...) <= 0 feasible.
+
+    Returns (T, L, O); masked/degenerate entries give a large negative value
+    (always feasible).  Differentiable in link_centers.
+    """
+    Ac = jnp.einsum("tlopi,tli->tlop", hp.A, link_centers)
+    pos = Ac - (hp.d + hp.delta)
+    neg = -Ac - (-hp.d + hp.delta)
+    both = jnp.maximum(pos, neg)
+    both = jnp.where(hp.valid, both, _EXCLUDED)
+    g = -jnp.max(both, axis=-1)
+    # masked-out obstacle slots are always feasible; live obstacles whose
+    # hyperplane set is fully degenerate stay infeasible like the reference
+    return jnp.where(hp.obs_mask[None, None, :], g, -1e3)

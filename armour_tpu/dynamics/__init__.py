@@ -1,0 +1,11 @@
+from armour_tpu.dynamics.rnea import rnea, rnea_interval, mass_matrix, bias_forces
+from armour_tpu.dynamics.pz_rnea import ArmReachableSets, build_reachable_sets
+
+__all__ = [
+    "rnea",
+    "rnea_interval",
+    "mass_matrix",
+    "bias_forces",
+    "ArmReachableSets",
+    "build_reachable_sets",
+]

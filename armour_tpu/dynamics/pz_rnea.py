@@ -1,0 +1,258 @@
+"""Polynomial-zonotope forward kinematics + RNEA over the joint chain.
+
+TPU-native rebuild of `kinova_planner_realtime/Dynamics.{h,cu}`: the joint
+chain is unrolled at trace time and every PZ op is batched over the T time
+subintervals (the reference instead OpenMP-parallelizes over t,
+`armour_main.cu:118-143`).
+
+Disturbance bound redesign: the reference runs RNEA twice (nominal and
+interval inertia) and subtracts, relying on symbolic cancellation of the
+shared trajectory monomials (`armour_main.cu:129-137`).  Since RNEA torque
+is linear in the inertial parameters and the velocity/acceleration forward
+recursion does not involve them, we run the forward recursion once and the
+force backward recursion twice: once with nominal params (u_nom) and once
+with zero-centered delta params (Δm = ±3%% m, ΔI = ±3%% |I|), whose output
+IS the disturbance set — provably containing u(θ_true) − u(θ_nom) for every
+shared trajectory realization, and tighter than the reference's interval
+subtraction (which double-counts the nominal radius).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from armour_tpu.config import PlannerConfig
+from armour_tpu.jrs.bezier import BezierJRS
+from armour_tpu.ops.pz import (
+    PZ,
+    SHAPE_X,
+    SHAPE_Y,
+    SHAPE_Z,
+    pz_component,
+    pz_cross,
+    pz_matmat,
+    pz_matvec,
+    pz_mul,
+    pz_set_component,
+    pz_stack,
+)
+from armour_tpu.robots.spec import RobotSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class ArmReachableSets:
+    """Per-timestep reachable sets consumed by the NLP.
+
+    - ``link_pz[i]``: k-only 3-vector PZ of link i's volume center, batch (T,)
+    - ``link_indep_gens``: (T, n_joints, 3, 6) shape generators + radius diag
+      (layout of `PZsparse.cu:370-402` reduce_link_PZ)
+    - ``u_nom[i]``: k-only scalar torque PZ, batch (T,)
+    - ``torque_radius``: (T, n_factors) total control-input radius
+      (`armour_main.cu:176-211`)
+    """
+
+    link_pz: list
+    link_indep_gens: jnp.ndarray
+    u_nom: list
+    torque_radius: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.link_pz, self.link_indep_gens, self.u_nom, self.torque_radius), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, dyn):
+        return cls(*dyn)
+
+
+jax.tree_util.register_pytree_node(
+    ArmReachableSets, ArmReachableSets.tree_flatten, ArmReachableSets.tree_unflatten
+)
+
+
+def _link_zono_pz(spec: RobotSpec, i: int, dtype) -> PZ:
+    """Link bounding-box PZ in the link frame with tagged shape generators
+    (`Dynamics.cu:51-66`)."""
+    c = jnp.asarray(spec.link_zono_center[i], dtype)
+    g = spec.link_zono_gen[i]
+    keys = [((SHAPE_X, 1),), ((SHAPE_Y, 1),), ((SHAPE_Z, 1),)]
+    coeffs = [
+        jnp.asarray([g[0], 0.0, 0.0], dtype),
+        jnp.asarray([0.0, g[1], 0.0], dtype),
+        jnp.asarray([0.0, 0.0, g[2]], dtype),
+    ]
+    return PZ.from_gens(c, keys, coeffs, nval=1)
+
+
+def pz_forward_kinematics(spec: RobotSpec, jrs: BezierJRS, dtype=jnp.float64):
+    """Link-volume PZs via the FK accumulation of `Dynamics.cu:69-81`.
+
+    Returns (link_pz list, link_indep_gens (T, n_joints, 3, 6)).
+    """
+    T = jrs.R[0].c.shape[0]
+    eyeT = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (T, 3, 3))
+    FK_R = PZ.const(eyeT, nval=2)
+    FK_T = PZ.const(jnp.zeros((T, 3), dtype), nval=1)
+
+    link_pz, gens = [], []
+    for i in range(spec.n_joints):
+        P = PZ.const(jnp.asarray(spec.trans[i], dtype), nval=1)
+        FK_T = FK_T + pz_matvec(FK_R, P)
+        FK_R = pz_matmat(FK_R, jrs.R[i])
+        link_i = pz_matvec(FK_R, _link_zono_pz(spec, i, dtype)) + FK_T
+        pz_k, g = link_i.reduce_link()
+        link_pz.append(pz_k)
+        gens.append(g)
+    return link_pz, jnp.stack(gens, axis=1)
+
+
+def _pz_rnea_forward(spec: RobotSpec, jrs: BezierJRS, dtype=jnp.float64):
+    """Velocity/acceleration PZ recursion (`Dynamics.cu:101-155`)."""
+    T = jrs.R[0].c.shape[0]
+    zero = lambda: PZ.const(jnp.zeros((T, 3), dtype), nval=1)
+    w, w_aux, wdot = zero(), zero(), zero()
+    acc0 = jnp.zeros((T, 3), dtype).at[:, 2].set(spec.gravity)
+    acc = PZ.const(acc0, nval=1)
+
+    ws, w_auxs, wdots, accs = [], [], [], []
+    for i in range(spec.n_joints):
+        Rt = jrs.R_t[i]
+        P = PZ.const(jnp.asarray(spec.trans[i], dtype), nval=1)
+        acc = pz_matvec(Rt, acc + pz_cross(wdot, P) + pz_cross(w, pz_cross(w_aux, P)))
+        w = pz_matvec(Rt, w)
+        w_aux = pz_matvec(Rt, w_aux)
+        wdot = pz_matvec(Rt, wdot)
+        if spec.axes[i] != 0:
+            a = abs(int(spec.axes[i])) - 1
+            sgn = 1.0 if spec.axes[i] > 0 else -1.0
+            qd_i = jrs.qd_des[i].scale(sgn)
+            qda_i = jrs.qda_des[i].scale(sgn)
+            qdda_i = jrs.qdda_des[i].scale(sgn)
+            w = pz_set_component(w, a, qd_i)
+            temp = pz_set_component(zero(), a, qd_i)
+            wdot = wdot + pz_cross(w_aux, temp)
+            wdot = pz_set_component(wdot, a, qdda_i)
+            w_aux = pz_set_component(w_aux, a, qda_i)
+        ws.append(w)
+        w_auxs.append(w_aux)
+        wdots.append(wdot)
+        accs.append(acc)
+    return ws, w_auxs, wdots, accs
+
+
+def _pz_rnea_backward(
+    spec: RobotSpec,
+    jrs: BezierJRS,
+    ws,
+    w_auxs,
+    wdots,
+    accs,
+    mass_pz: list,
+    inertia_pz: list,
+    include_actuation: bool,
+    dtype=jnp.float64,
+):
+    """Force PZ recursion with given inertial-parameter PZs
+    (`Dynamics.cu:148-180`)."""
+    n = spec.n_joints
+    Fs, Ns = [], []
+    for i in range(n):
+        com = PZ.const(jnp.asarray(spec.com[i], dtype), nval=1)
+        acc_com = accs[i] + pz_cross(wdots[i], com) + pz_cross(ws[i], pz_cross(w_auxs[i], com))
+        Fs.append(pz_mul(mass_pz[i], acc_com))
+        Ns.append(
+            pz_matvec(inertia_pz[i], wdots[i])
+            + pz_cross(w_auxs[i], pz_matvec(inertia_pz[i], ws[i]))
+        )
+
+    T = jrs.R[0].c.shape[0]
+    f = PZ.const(jnp.zeros((T, 3), dtype), nval=1)
+    nv = PZ.const(jnp.zeros((T, 3), dtype), nval=1)
+    u = [None] * spec.n_factors
+    for i in range(n - 1, -1, -1):
+        Rn = jrs.R[i + 1]
+        com = PZ.const(jnp.asarray(spec.com[i], dtype), nval=1)
+        Pn = PZ.const(jnp.asarray(spec.trans[i + 1], dtype), nval=1)
+        Rf = pz_matvec(Rn, f)
+        nv = Ns[i] + pz_matvec(Rn, nv) + pz_cross(com, Fs[i]) + pz_cross(Pn, Rf)
+        f = Rf + Fs[i]
+        if spec.axes[i] != 0:
+            a = abs(int(spec.axes[i])) - 1
+            sgn = 1.0 if spec.axes[i] > 0 else -1.0
+            ui = pz_component(nv, a).scale(sgn)
+            if include_actuation:
+                ui = ui + jrs.qdda_des[i].scale(float(spec.armature[i]))
+                ui = ui + jrs.qd_des[i].scale(float(spec.damping[i]))
+            u[i] = ui
+    return u
+
+
+def build_reachable_sets(
+    spec: RobotSpec,
+    cfg: PlannerConfig,
+    jrs: BezierJRS,
+    dtype=jnp.float64,
+) -> ArmReachableSets:
+    """Full reachable-set phase: FK + nominal torque + disturbance-driven
+    torque radius (reference §II.B-II.C, `armour_main.cu:110-211`)."""
+    link_pz, link_gens = pz_forward_kinematics(spec, jrs, dtype)
+
+    if not cfg.input_constraints:
+        T = cfg.num_time_steps
+        return ArmReachableSets(
+            link_pz, link_gens, [], jnp.zeros((T, spec.n_factors), dtype)
+        )
+
+    ws, w_auxs, wdots, accs = _pz_rnea_forward(spec, jrs, dtype)
+
+    mass_nom = [PZ.const(jnp.asarray(spec.mass[i], dtype)) for i in range(spec.n_joints)]
+    I_nom = [PZ.const(jnp.asarray(spec.inertia[i], dtype), nval=2) for i in range(spec.n_joints)]
+    u_nom = _pz_rnea_backward(
+        spec, jrs, ws, w_auxs, wdots, accs, mass_nom, I_nom, include_actuation=True, dtype=dtype
+    )
+
+    # disturbance pass: zero-centered interval inertial params
+    mass_d = [
+        PZ.const(jnp.zeros((), dtype), r=spec.mass_uncertainty * abs(spec.mass[i]))
+        for i in range(spec.n_joints)
+    ]
+    I_d = [
+        PZ.const(
+            jnp.zeros((3, 3), dtype),
+            nval=2,
+            r=spec.inertia_uncertainty * jnp.abs(jnp.asarray(spec.inertia[i], dtype)),
+        )
+        for i in range(spec.n_joints)
+    ]
+    u_dist = _pz_rnea_backward(
+        spec, jrs, ws, w_auxs, wdots, accs, mass_d, I_d, include_actuation=False, dtype=dtype
+    )
+
+    # total control-input radius (armour_main.cu:176-211):
+    #   alpha (M_max - M_min) eps + 0.5 |Phi_i| + 0.5 ||Phi|| + r(u_nom) + friction
+    phi_lo, phi_hi = [], []
+    for i in range(spec.n_factors):
+        lo, hi = u_dist[i].to_interval()
+        phi_lo.append(lo)
+        phi_hi.append(hi)
+    phi_lo = jnp.stack(phi_lo, axis=-1)   # (T, nf)
+    phi_hi = jnp.stack(phi_hi, axis=-1)
+    phi_sup = jnp.maximum(jnp.abs(phi_lo), jnp.abs(phi_hi))
+    rho_max = jnp.sqrt(jnp.sum(phi_sup**2, axis=-1, keepdims=True))
+
+    u_nom_red = [u.reduce() for u in u_nom]
+    u_nom_rad = jnp.stack([u.r for u in u_nom_red], axis=-1)  # (T, nf)
+
+    torque_radius = (
+        spec.alpha * (spec.m_max_eig - spec.m_min_eig) * spec.ultimate_bound
+        + 0.5 * phi_sup
+        + 0.5 * rho_max
+        + u_nom_rad
+        + jnp.asarray(spec.friction[: spec.n_factors], dtype)
+        + cfg.torque_numeric_slack
+    )
+
+    return ArmReachableSets(link_pz, link_gens, u_nom_red, torque_radius)

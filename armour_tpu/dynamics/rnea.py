@@ -1,0 +1,269 @@
+"""Numeric modified (passivity) RNEA — point and interval versions.
+
+TPU-native equivalent of the reference's controller dynamics kernels:
+MATLAB `simulator/dynamics/rnea.m:1-244` and the C++ MEX
+`kinova_robust_controllers_mex/rnea.cpp:6-80` (point + interval spatial NE
+recursions).  Everything is jit/vmap-friendly: the joint chain is unrolled
+at trace time (7 iterations), all state is (...,3) tensors broadcasting over
+arbitrary batch dims.
+
+The "modified" recursion carries an auxiliary velocity w_aux (passivity
+controller reference velocity), reducing to classic RNEA when qd_aux == qd.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from armour_tpu.ops.interval import Interval
+from armour_tpu.robots.spec import RobotSpec
+
+
+def _axis_rotation(axis: int, q):
+    """R(axis, q) with axis in {±1, ±2, ±3} (rx/ry/rz)."""
+    sgn = 1.0 if axis > 0 else -1.0
+    a = abs(axis) - 1
+    c = jnp.cos(q)
+    s = sgn * jnp.sin(q)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    if a == 0:
+        rows = [[o, z, z], [z, c, -s], [z, s, c]]
+    elif a == 1:
+        rows = [[c, z, s], [z, o, z], [-s, z, c]]
+    else:
+        rows = [[c, -s, z], [s, c, z], [z, z, o]]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def joint_rotations(spec: RobotSpec, q):
+    """Per-joint rotation R_i (frame i in frame i-1): (..., n_joints+1, 3, 3)."""
+    fixed = spec.fixed_rotations()
+    Rs = []
+    for i in range(spec.n_joints):
+        F = jnp.asarray(fixed[i], q.dtype)
+        if spec.axes[i] != 0:
+            Rs.append(F @ _axis_rotation(int(spec.axes[i]), q[..., i]))
+        else:
+            Rs.append(jnp.broadcast_to(F, q.shape[:-1] + (3, 3)))
+    Rs.append(jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), q.shape[:-1] + (3, 3)))
+    return jnp.stack(Rs, axis=-3)
+
+
+def forward_kinematics(spec: RobotSpec, q):
+    """World-frame (R_w, p_w) per joint frame: ((..., n, 3, 3), (..., n, 3)).
+
+    Matches the accumulation in `Dynamics.cu:69-81` (p is the joint frame
+    origin; link volumes are R_w @ link_zono + p).
+    """
+    R = joint_rotations(spec, q)
+    trans = jnp.asarray(spec.trans, q.dtype)
+    Rw = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), q.shape[:-1] + (3, 3))
+    pw = jnp.zeros(q.shape[:-1] + (3,), q.dtype)
+    Rws, pws = [], []
+    for i in range(spec.n_joints):
+        pw = pw + jnp.einsum("...ab,b->...a", Rw, trans[i])
+        Rw = jnp.einsum("...ab,...bc->...ac", Rw, R[..., i, :, :])
+        Rws.append(Rw)
+        pws.append(pw)
+    return jnp.stack(Rws, axis=-3), jnp.stack(pws, axis=-2)
+
+
+def _forward_pass(spec: RobotSpec, q, qd, qd_aux, qdd, use_gravity: bool):
+    """Velocity/acceleration recursion (inertia-free).
+
+    Returns per-joint lists (w, w_aux, wdot, acc, R) — shared by the point
+    and interval backward passes (torque is linear in inertial params, so
+    the forward pass never needs interval arithmetic for inertia
+    uncertainty).  Mirrors `Dynamics.cu:101-155` ordering exactly.
+    """
+    n = spec.n_joints
+    batch = q.shape[:-1]
+    dtype = q.dtype
+    R = joint_rotations(spec, q)
+    trans = jnp.asarray(spec.trans, dtype)
+
+    zero3 = jnp.zeros(batch + (3,), dtype)
+    w, w_aux, wdot = zero3, zero3, zero3
+    acc = zero3
+    if use_gravity:
+        acc = acc.at[..., 2].set(spec.gravity)
+
+    ws, w_auxs, wdots, accs = [], [], [], []
+    for i in range(n):
+        Rt = jnp.swapaxes(R[..., i, :, :], -1, -2)
+        rot = lambda M, v: jnp.einsum("...ab,...b->...a", M, v)
+        P = trans[i]
+        acc = rot(Rt, acc + jnp.cross(wdot, jnp.broadcast_to(P, wdot.shape)) + jnp.cross(w, jnp.cross(w_aux, jnp.broadcast_to(P, w.shape))))
+        w = rot(Rt, w)
+        w_aux = rot(Rt, w_aux)
+        wdot = rot(Rt, wdot)
+        if spec.axes[i] != 0:
+            a = abs(int(spec.axes[i])) - 1
+            sgn = 1.0 if spec.axes[i] > 0 else -1.0
+            z_qd = jnp.zeros_like(w).at[..., a].set(sgn * qd[..., i])
+            z_qda = jnp.zeros_like(w).at[..., a].set(sgn * qd_aux[..., i])
+            z_qdd = jnp.zeros_like(w).at[..., a].set(sgn * qdd[..., i])
+            w = w + z_qd
+            wdot = wdot + jnp.cross(w_aux, z_qd) + z_qdd
+            w_aux = w_aux + z_qda
+        ws.append(w)
+        w_auxs.append(w_aux)
+        wdots.append(wdot)
+        accs.append(acc)
+    return ws, w_auxs, wdots, accs, R
+
+
+def _backward_pass(spec: RobotSpec, ws, w_auxs, wdots, accs, R, qd, qdd,
+                   mass, com, inertia, armature, damping):
+    """Force recursion with given inertial params -> joint torques (..., nf)."""
+    n = spec.n_joints
+    rot = lambda M, v: jnp.einsum("...ab,...b->...a", M, v)
+    Fs, Ns = [], []
+    for i in range(n):
+        ci = jnp.broadcast_to(jnp.asarray(com[i], qd.dtype), ws[i].shape)
+        acc_com = accs[i] + jnp.cross(wdots[i], ci) + jnp.cross(ws[i], jnp.cross(w_auxs[i], ci))
+        Fs.append(mass[i] * acc_com)
+        Iw = jnp.einsum("ab,...b->...a", jnp.asarray(inertia[i], qd.dtype), ws[i])
+        Iwd = jnp.einsum("ab,...b->...a", jnp.asarray(inertia[i], qd.dtype), wdots[i])
+        Ns.append(Iwd + jnp.cross(w_auxs[i], Iw))
+
+    f = jnp.zeros_like(Fs[0])
+    nn = jnp.zeros_like(Fs[0])
+    trans = spec.trans
+    u = []
+    for i in range(n - 1, -1, -1):
+        Rn = R[..., i + 1, :, :]
+        nn = (
+            Ns[i]
+            + rot(Rn, nn)
+            + jnp.cross(jnp.broadcast_to(jnp.asarray(com[i], qd.dtype), Fs[i].shape), Fs[i])
+            + jnp.cross(jnp.broadcast_to(jnp.asarray(trans[i + 1], qd.dtype), f.shape), rot(Rn, f))
+        )
+        f = rot(Rn, f) + Fs[i]
+        if spec.axes[i] != 0:
+            a = abs(int(spec.axes[i])) - 1
+            sgn = 1.0 if spec.axes[i] > 0 else -1.0
+            ui = sgn * nn[..., a] + armature[i] * qdd[..., i] + damping[i] * qd[..., i]
+            u.append(ui)
+    u.reverse()
+    return jnp.stack(u, axis=-1)
+
+
+def rnea(spec: RobotSpec, q, qd, qd_aux, qdd, use_gravity: bool = True,
+         mass=None, com=None, inertia=None, use_armature: bool = True):
+    """Point modified RNEA -> joint torques (..., n_factors).
+
+    Defaults to nominal inertial params; pass overrides for the plant's
+    "true" params (cf. `uarmtd_agent.m:385-424`).
+    """
+    mass = spec.mass if mass is None else mass
+    com = spec.com if com is None else com
+    inertia = spec.inertia if inertia is None else inertia
+    arma = spec.armature if use_armature else np.zeros(spec.n_joints)
+    ws, w_auxs, wdots, accs, R = _forward_pass(spec, q, qd, qd_aux, qdd, use_gravity)
+    return _backward_pass(spec, ws, w_auxs, wdots, accs, R, qd, qdd,
+                          mass, com, inertia, arma, spec.damping)
+
+
+def rnea_interval(spec: RobotSpec, q, qd, qd_aux, qdd, use_gravity: bool = True,
+                  mass_scale: tuple[float, float] | None = None,
+                  use_armature: bool = True):
+    """Interval modified RNEA over the spec's inertial uncertainty.
+
+    Because torque is linear in the inertial parameters and the forward
+    recursion does not involve them, the interval output is computed as
+    nominal +/- |backward pass with delta params| — exact and cheaper than
+    running a full interval recursion (cf. `rnea.cpp` passRNEA_Int).
+
+    ``mass_scale`` optionally overrides the mass uncertainty range (the
+    controller benchmark sweeps it, `kinova_compare_robust_controller.m:18`).
+    Returns an Interval over (..., n_factors).
+    """
+    u_nom = rnea(spec, q, qd, qd_aux, qdd, use_gravity, use_armature=use_armature)
+    if mass_scale is None:
+        dm = spec.mass_uncertainty
+    else:
+        dm = max(abs(mass_scale[0] - 1.0), abs(mass_scale[1] - 1.0))
+    dI = spec.inertia_uncertainty if mass_scale is None else dm
+
+    ws, w_auxs, wdots, accs, R = _forward_pass(spec, q, qd, qd_aux, qdd, use_gravity)
+    n = spec.n_joints
+    rot = lambda M, v: jnp.einsum("...ab,...b->...a", M, v)
+
+    # |delta torque| bound: propagate absolute values through the linear
+    # backward recursion with delta params dm*m, dI*|I|
+    absF, absN = [], []
+    for i in range(n):
+        ci = jnp.broadcast_to(jnp.asarray(spec.com[i], q.dtype), ws[i].shape)
+        acc_com = accs[i] + jnp.cross(wdots[i], ci) + jnp.cross(ws[i], jnp.cross(w_auxs[i], ci))
+        absF.append(dm * spec.mass[i] * jnp.abs(acc_com))
+        absI = dI * np.abs(spec.inertia[i])
+        Iw = jnp.einsum("ab,...b->...a", jnp.asarray(absI, q.dtype), jnp.abs(ws[i]))
+        Iwd = jnp.einsum("ab,...b->...a", jnp.asarray(absI, q.dtype), jnp.abs(wdots[i]))
+        # |a x b| <= |a| x~ |b| elementwise majorant
+        wa = jnp.abs(w_auxs[i])
+        cx = jnp.stack(
+            [
+                wa[..., 1] * Iw[..., 2] + wa[..., 2] * Iw[..., 1],
+                wa[..., 2] * Iw[..., 0] + wa[..., 0] * Iw[..., 2],
+                wa[..., 0] * Iw[..., 1] + wa[..., 1] * Iw[..., 0],
+            ],
+            axis=-1,
+        )
+        absN.append(Iwd + cx)
+
+    f = jnp.zeros_like(absF[0])
+    nn = jnp.zeros_like(absF[0])
+    du = []
+    for i in range(n - 1, -1, -1):
+        Rn = jnp.abs(R[..., i + 1, :, :])
+        ci = jnp.abs(jnp.asarray(spec.com[i], q.dtype))
+        Pi = jnp.abs(jnp.asarray(spec.trans[i + 1], q.dtype))
+        Rf = rot(Rn, f)
+        cxF = jnp.stack(
+            [
+                ci[1] * absF[i][..., 2] + ci[2] * absF[i][..., 1],
+                ci[2] * absF[i][..., 0] + ci[0] * absF[i][..., 2],
+                ci[0] * absF[i][..., 1] + ci[1] * absF[i][..., 0],
+            ],
+            axis=-1,
+        )
+        cxf = jnp.stack(
+            [
+                Pi[1] * Rf[..., 2] + Pi[2] * Rf[..., 1],
+                Pi[2] * Rf[..., 0] + Pi[0] * Rf[..., 2],
+                Pi[0] * Rf[..., 1] + Pi[1] * Rf[..., 0],
+            ],
+            axis=-1,
+        )
+        nn = absN[i] + rot(Rn, nn) + cxF + cxf
+        f = Rf + absF[i]
+        if spec.axes[i] != 0:
+            a = abs(int(spec.axes[i])) - 1
+            du.append(nn[..., a])
+    du.reverse()
+    du = jnp.stack(du, axis=-1)
+    return Interval(u_nom - du, u_nom + du)
+
+
+def mass_matrix(spec: RobotSpec, q, include_armature: bool = True):
+    """M(q) via n RNEA columns (qd=0, qdd=e_i, no gravity) — the standard
+    inverse-dynamics trick (`rnea_mass` codegen equivalent)."""
+    nf = spec.n_factors
+    eye = jnp.eye(nf, dtype=q.dtype)
+    cols = [
+        rnea(spec, q, jnp.zeros_like(q), jnp.zeros_like(q),
+             jnp.broadcast_to(eye[i], q.shape), use_gravity=False,
+             use_armature=include_armature)
+        for i in range(nf)
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
+def bias_forces(spec: RobotSpec, q, qd):
+    """C(q, qd) qd + g(q) via RNEA with qdd = 0."""
+    return rnea(spec, q, qd, qd, jnp.zeros_like(q), use_gravity=True, use_armature=False)

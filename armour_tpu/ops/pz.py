@@ -43,7 +43,7 @@ contraction, and its k-gradient (hand-derived over 120 lines in
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -306,101 +306,146 @@ class PZ:
 # products
 # ---------------------------------------------------------------------------
 
-def _combine(
-    a: PZ,
-    b: PZ,
-    prod: Callable,
-    prod_abs: Callable,
-    nval_out: int,
-    max_deg: int,
-) -> PZ:
-    """Generic sound product of two PZs under a bilinear value-product.
+# Levi-Civita tensor for cross products; its abs is the monotone majorant
+_LEVI = np.zeros((3, 3, 3))
+_LEVI[0, 1, 2] = _LEVI[1, 2, 0] = _LEVI[2, 0, 1] = 1.0
+_LEVI[0, 2, 1] = _LEVI[1, 0, 2] = _LEVI[2, 1, 0] = -1.0
+_ABS_LEVI = np.abs(_LEVI)
 
-    ``prod(x, y)`` computes the value product with batch broadcasting;
-    ``prod_abs(x, y)`` is its monotone absolute-value majorant (for radius
-    propagation).  Mirrors `PZsparse.cu:864-994` with eager static sweeping.
+
+class _ProdKind:
+    """A bilinear value-product with vectorized generator-pair forms so the
+    NGa x NGb contraction lowers to ONE batched op instead of NGa x NGb
+    separate ops (critical for trace/compile time).
+
+    ``mode``: 'mul' (elementwise, plain broadcasting — NOT einsum: XLA CPU
+    can deadlock on einsums with scalar operands), 'cross' (Levi-Civita
+    einsum), or einsum subscripts for matmat/matvec/dot.
     """
-    c_out = prod(a.c, b.c)
-    terms: dict[MonKey, object] = {}
-    swept = jnp.zeros_like(c_out)
 
-    def _acc(key: MonKey, val):
-        nonlocal swept
-        if _keep(key, max_deg):
-            terms[key] = terms[key] + val if key in terms else val
-        else:
-            swept = swept + jnp.abs(val)
+    def __init__(self, s1: str = "", s2: str = "", so: str = "", mode: str = "ein"):
+        self.s1, self.s2, self.so, self.mode = s1, s2, so, mode
 
-    # gen x center and center x gen
-    for i, key in enumerate(a.basis):
-        _acc(key, prod(a.G[i], b.c))
-    for j, key in enumerate(b.basis):
-        _acc(key, prod(a.c, b.G[j]))
-    # gen x gen
+    def _apply(self, p1: str, p2: str, po: str, x, y, absval: bool):
+        if self.mode == "mul":
+            # align value/batch dims from the right, keeping gen axes in front
+            def pad(arr, n_gen, tgt):
+                need = tgt - (arr.ndim - n_gen)
+                if need > 0:
+                    arr = arr.reshape(arr.shape[:n_gen] + (1,) * need + arr.shape[n_gen:])
+                return arr
+
+            tgt = max(x.ndim - len(p1), y.ndim - len(p2))
+            if p1 and p2:  # pair: (g, ...) x (h, ...) -> (g, h, ...)
+                return pad(x, 1, tgt)[:, None] * pad(y, 1, tgt)[None, :]
+            return pad(x, len(p1), tgt) * pad(y, len(p2), tgt)
+        if self.mode == "cross":
+            E = jnp.asarray(_ABS_LEVI if absval else _LEVI, x.dtype)
+            return jnp.einsum(f"ijk,{p1}...j,{p2}...k->{po}...i", E, x, y)
+        return jnp.einsum(f"{p1}{self.s1},{p2}{self.s2}->{po}{self.so}", x, y)
+
+    def plain(self, x, y):
+        return self._apply("", "", "", x, y, False)
+
+    def plain_abs(self, x, y):
+        return self._apply("", "", "", x, y, True)
+
+    def left(self, xG, y):  # (g, ...), (...) -> (g, ...)
+        return self._apply("g", "", "g", xG, y, False)
+
+    def right(self, x, yG):
+        return self._apply("", "h", "h", x, yG, False)
+
+    def pair(self, xG, yG):  # -> (g, h, ...)
+        return self._apply("g", "h", "gh", xG, yG, False)
+
+
+_KIND_MUL = _ProdKind(mode="mul")
+_KIND_MATMAT = _ProdKind("...ab", "...bc", "...ac")
+_KIND_MATVEC = _ProdKind("...ab", "...b", "...a")
+_KIND_DOT = _ProdKind("...a", "...a", "...")
+_KIND_CROSS = _ProdKind(mode="cross")
+
+
+def _combine(a: PZ, b: PZ, kind: _ProdKind, nval_out: int, max_deg: int) -> PZ:
+    """Sound product of two PZs under a bilinear value-product.
+
+    Mirrors `PZsparse.cu:864-994` with eager static sweeping; the monomial
+    bookkeeping happens in numpy at trace time, the compiled code is one
+    einsum per term class plus one static scatter-add.
+    """
+    c_out = kind.plain(a.c, b.c)
+    NGa, NGb = a.ngens, b.ngens
+
+    # -- static basis bookkeeping (inputs are within-cap by construction) --
+    kept_pairs, swept_pairs, pair_keys = [], [], []
     for i, ka in enumerate(a.basis):
         for j, kb in enumerate(b.basis):
-            _acc(_mul_keys(ka, kb), prod(a.G[i], b.G[j]))
+            kk = _mul_keys(ka, kb)
+            if _keep(kk, max_deg):
+                kept_pairs.append(i * NGb + j)
+                pair_keys.append(kk)
+            else:
+                swept_pairs.append(i * NGb + j)
+    basis = tuple(sorted(set(a.basis) | set(b.basis) | set(pair_keys)))
+    pos = {k: s for s, k in enumerate(basis)}
+    slot_a = np.array([pos[k] for k in a.basis], dtype=np.int32)
+    slot_b = np.array([pos[k] for k in b.basis], dtype=np.int32)
+    slot_p = np.array([pos[k] for k in pair_keys], dtype=np.int32)
+
+    # -- compiled tensor math -----------------------------------------
+    G_out = jnp.zeros((len(basis),) + c_out.shape, c_out.dtype)
+    if NGa:
+        G_out = G_out.at[slot_a].add(kind.left(a.G, b.c))
+    if NGb:
+        G_out = G_out.at[slot_b].add(kind.right(a.c, b.G))
+    swept = jnp.zeros((), c_out.dtype)
+    if NGa and NGb:
+        P = kind.pair(a.G, b.G).reshape((NGa * NGb,) + c_out.shape)
+        if kept_pairs:
+            G_out = G_out.at[slot_p].add(P[np.array(kept_pairs)])
+        if swept_pairs:
+            swept = jnp.sum(jnp.abs(P[np.array(swept_pairs)]), axis=0)
 
     # radius: r_a x |b|, |a| x r_b, r_a x r_b  (PZsparse.cu:944-989)
+    ra = jnp.broadcast_to(a.r, a.c.shape)
+    rb = jnp.broadcast_to(b.r, b.c.shape)
     r_out = (
-        prod_abs(a.abs_sum(), jnp.broadcast_to(b.r, b.c.shape))
-        + prod_abs(jnp.broadcast_to(a.r, a.c.shape), b.abs_sum())
-        + prod_abs(jnp.broadcast_to(a.r, a.c.shape), jnp.broadcast_to(b.r, b.c.shape))
+        kind.plain_abs(a.abs_sum(), rb)
+        + kind.plain_abs(ra, b.abs_sum())
+        + kind.plain_abs(ra, rb)
         + swept
     )
-
-    basis = tuple(sorted(terms.keys()))
-    if basis:
-        G = jnp.stack([terms[k] for k in basis])
-    else:
-        G = jnp.zeros((0,) + c_out.shape, c_out.dtype)
-    return PZ(c_out, G, jnp.broadcast_to(r_out, c_out.shape), basis, nval_out)
+    return PZ(c_out, G_out, jnp.broadcast_to(r_out, c_out.shape), basis, nval_out)
 
 
 def pz_mul(a: PZ, b: PZ, max_deg: int = DEFAULT_MAX_DEGREE) -> PZ:
     """Elementwise / scalar-broadcast product."""
-    nval = max(a.nval, b.nval)
-    return _combine(a, b, jnp.multiply, jnp.multiply, nval, max_deg)
+    return _combine(a, b, _KIND_MUL, max(a.nval, b.nval), max_deg)
 
 
 def pz_matmat(a: PZ, b: PZ, max_deg: int = DEFAULT_MAX_DEGREE) -> PZ:
     """(..., 3, 3) @ (..., 3, 3)."""
     assert a.nval == 2 and b.nval == 2
-    prod = lambda x, y: jnp.einsum("...ab,...bc->...ac", x, y)
-    return _combine(a, b, prod, prod, 2, max_deg)
+    return _combine(a, b, _KIND_MATMAT, 2, max_deg)
 
 
 def pz_matvec(a: PZ, b: PZ, max_deg: int = DEFAULT_MAX_DEGREE) -> PZ:
     """(..., 3, 3) @ (..., 3)."""
     assert a.nval == 2 and b.nval == 1
-    prod = lambda x, y: jnp.einsum("...ab,...b->...a", x, y)
-    return _combine(a, b, prod, prod, 1, max_deg)
-
-
-def _cross(x, y):
-    return jnp.cross(x, y)
-
-
-def _cross_abs(x, y):
-    """Monotone majorant of |cross(x, y)| for nonneg x, y."""
-    x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
-    y0, y1, y2 = y[..., 0], y[..., 1], y[..., 2]
-    return jnp.stack(
-        [x1 * y2 + x2 * y1, x2 * y0 + x0 * y2, x0 * y1 + x1 * y0], axis=-1
-    )
+    return _combine(a, b, _KIND_MATVEC, 1, max_deg)
 
 
 def pz_cross(a: PZ, b: PZ, max_deg: int = DEFAULT_MAX_DEGREE) -> PZ:
     """cross((..., 3), (..., 3)) (PZsparse.cu:1134-1151)."""
     assert a.nval == 1 and b.nval == 1
-    return _combine(a, b, _cross, _cross_abs, 1, max_deg)
+    return _combine(a, b, _KIND_CROSS, 1, max_deg)
 
 
 def pz_dot(a: PZ, b: PZ, max_deg: int = DEFAULT_MAX_DEGREE) -> PZ:
     """dot((..., 3), (..., 3)) -> scalar."""
     assert a.nval == 1 and b.nval == 1
-    prod = lambda x, y: jnp.einsum("...a,...a->...", x, y)
-    return _combine(a, b, prod, prod, 0, max_deg)
+    return _combine(a, b, _KIND_DOT, 0, max_deg)
 
 
 def pz_stack(pzs: Sequence[PZ], axis: int = -1) -> PZ:

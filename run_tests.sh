@@ -1,0 +1,8 @@
+#!/bin/bash
+# CPU test runner.
+#
+# The deployment environment injects an `axon` TPU PJRT plugin into every
+# python interpreter via PYTHONPATH sitecustomize; its tunnel handshake can
+# stall host transfers for minutes.  Tests are CPU-only, so start pytest
+# with a sanitized environment.
+exec env PYTHONPATH= JAX_PLATFORMS=cpu python -m pytest "$@"

@@ -1,0 +1,192 @@
+"""Tests for numeric RNEA and the PZ reachable-set builder.
+
+Golden/containment strategy follows the reference's `debug_script.m`: the
+exact torque computed by plain RNEA at a sampled trajectory point must lie
+inside the sliced torque PZ, and exact link positions inside the sliced
+link sets.  Heavy pipelines are probed through jitted functions compiled
+once per module.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.config import PlannerConfig
+from armour_tpu.dynamics.pz_rnea import build_reachable_sets
+from armour_tpu.dynamics.rnea import (
+    bias_forces,
+    forward_kinematics,
+    mass_matrix,
+    rnea,
+    rnea_interval,
+)
+from armour_tpu.jrs.bezier import make_bezier_jrs, q_des_fn, qd_des_fn, qdd_des_fn
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+SPEC = kinova_gen3_spec()
+CFG = PlannerConfig(num_time_steps=8)
+
+rnea_j = jax.jit(lambda q, qd, qda, qdd: rnea(SPEC, q, qd, qda, qdd))
+rnea_params_j = jax.jit(
+    lambda q, qd, qda, qdd, m, I: rnea(SPEC, q, qd, qda, qdd, mass=m, inertia=I)
+)
+mass_j = jax.jit(lambda q: mass_matrix(SPEC, q, include_armature=True))
+bias_j = jax.jit(lambda q, qd: bias_forces(SPEC, q, qd))
+fk_j = jax.jit(lambda q: forward_kinematics(SPEC, q))
+rnea_int_j = jax.jit(lambda q, qd, qda, qdd: rnea_interval(SPEC, q, qd, qda, qdd))
+
+
+@jax.jit
+def rs_probe(q0, qd0, qdd0, k):
+    """Reachable sets sliced at k."""
+    jrs = make_bezier_jrs(SPEC, CFG, q0, qd0, qdd0)
+    rs = build_reachable_sets(SPEC, CFG, jrs)
+    u_c, u_r = zip(*[u.slice(k) for u in rs.u_nom])
+    l_c, _ = zip(*[p.slice(k) for p in rs.link_pz])
+    return {
+        "u_c": jnp.stack(u_c, -1),       # (T, nf)
+        "u_r": jnp.stack(u_r, -1),
+        "link_c": jnp.stack(l_c, 1),     # (T, n_joints, 3)
+        "link_gens": rs.link_indep_gens,  # (T, n_joints, 3, 6)
+        "torque_radius": rs.torque_radius,
+    }
+
+
+@pytest.fixture
+def state(rng):
+    q = rng.uniform(-1.5, 1.5, 7)
+    qd = rng.uniform(-1.0, 1.0, 7)
+    qdd = rng.uniform(-2.0, 2.0, 7)
+    return jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qdd)
+
+
+def test_rnea_equals_mass_bias_decomposition(state):
+    """rnea(q, qd, qd, qdd) == M(q) qdd + C qd + g (classic identity)."""
+    q, qd, qdd = state
+    u = rnea_j(q, qd, qd, qdd)
+    M = mass_j(q)
+    b = bias_j(q, qd)
+    np.testing.assert_allclose(np.array(u), np.array(M @ qdd + b), atol=1e-9)
+
+
+def test_mass_matrix_spd(state):
+    q, _, _ = state
+    M = np.array(mass_j(q))
+    np.testing.assert_allclose(M, M.T, atol=1e-9)
+    w = np.linalg.eigvalsh(M)
+    assert np.all(w > 0)
+    assert w.min() >= SPEC.m_min_eig - 0.5
+    assert w.max() <= SPEC.m_max_eig + 0.5
+
+
+def test_gravity_compensation_static():
+    q = jnp.zeros(7)
+    z = jnp.zeros(7)
+    np.testing.assert_allclose(
+        np.array(rnea_j(q, z, z, z)), np.array(bias_j(q, z)), atol=1e-10
+    )
+
+
+def test_interval_rnea_contains_true_params(state, rng):
+    q, qd, qdd = state
+    iv = rnea_int_j(q, qd, qd, qdd)
+    for _ in range(10):
+        sm = rng.uniform(0.97, 1.03, 7)
+        sI = rng.uniform(0.97, 1.03, 7)
+        u = rnea_params_j(q, qd, qd, qdd, jnp.asarray(SPEC.mass * sm),
+                          jnp.asarray(SPEC.inertia * sI[:, None, None]))
+        assert np.all(np.array(u) >= np.array(iv.lo) - 1e-9)
+        assert np.all(np.array(u) <= np.array(iv.hi) + 1e-9)
+    u0 = rnea_j(q, qd, qd, qdd)
+    assert np.all(np.array(u0) >= np.array(iv.lo) - 1e-12)
+    assert np.all(np.array(u0) <= np.array(iv.hi) + 1e-12)
+
+
+def test_batched_rnea(state):
+    q, qd, qdd = state
+    ub = rnea_j(jnp.stack([q, q + 0.1]), jnp.stack([qd, qd]), jnp.stack([qd, qd]),
+                jnp.stack([qdd, qdd]))
+    np.testing.assert_allclose(np.array(ub[0]), np.array(rnea_j(q, qd, qd, qdd)), atol=1e-12)
+    np.testing.assert_allclose(np.array(ub[1]), np.array(rnea_j(q + 0.1, qd, qd, qdd)), atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# PZ reachable sets
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def traj_state(rng):
+    q0 = rng.uniform(-1.0, 1.0, 7)
+    qd0 = rng.uniform(-0.3, 0.3, 7)
+    qdd0 = rng.uniform(-0.5, 0.5, 7)
+    return q0, qd0, qdd0
+
+
+def _sample_traj(q0, qd0, qdd0, k, s):
+    ka = CFG.k_range * k
+    Tqd0 = qd0 * CFG.duration
+    TTqdd0 = qdd0 * CFG.duration**2
+    q = q_des_fn(q0, Tqd0, TTqdd0, ka, s)
+    qd = qd_des_fn(q0, Tqd0, TTqdd0, ka, s) / CFG.duration
+    qdd = qdd_des_fn(q0, Tqd0, TTqdd0, ka, s) / CFG.duration**2
+    return q, qd, qdd
+
+
+def test_link_fk_containment(traj_state, rng):
+    """Exact link volume points lie in sliced link PZ + shape gens + radius."""
+    q0, qd0, qdd0 = traj_state
+    T = CFG.num_time_steps
+    for _ in range(3):
+        k = rng.uniform(-1, 1, 7)
+        out = {kk: np.array(v) for kk, v in rs_probe(q0, qd0, qdd0, jnp.asarray(k)).items()}
+        t_idx = int(rng.integers(0, T))
+        s = rng.uniform(t_idx / T, (t_idx + 1) / T)
+        q, _, _ = _sample_traj(q0, qd0, qdd0, k, s)
+        Rw, pw = fk_j(jnp.asarray(q))
+        sv = rng.uniform(-1, 1, 3)
+        for li in range(7):
+            local = SPEC.link_zono_center[li] + SPEC.link_zono_gen[li] * sv
+            x = np.array(Rw)[li] @ local + np.array(pw)[li]
+            c = out["link_c"][t_idx, li]
+            gens = out["link_gens"][t_idx, li]
+            shape_part = gens[:, :3] @ sv
+            rad = np.abs(gens[:, 3:]).sum(axis=1)
+            assert np.all(np.abs(x - c - shape_part) <= rad + 1e-9), (
+                f"link {li}: dev {np.abs(x - c - shape_part) - rad}"
+            )
+
+
+def test_torque_pz_containment(traj_state, rng):
+    """Exact RNEA torque on the desired trajectory lies inside the sliced
+    nominal torque PZ; perturbed-inertia torque inside nominal ± radius."""
+    q0, qd0, qdd0 = traj_state
+    T = CFG.num_time_steps
+    for _ in range(3):
+        k = rng.uniform(-1, 1, 7)
+        out = {kk: np.array(v) for kk, v in rs_probe(q0, qd0, qdd0, jnp.asarray(k)).items()}
+        t_idx = int(rng.integers(0, T))
+        s = rng.uniform(t_idx / T, (t_idx + 1) / T)
+        q, qd, qdd = _sample_traj(q0, qd0, qdd0, k, s)
+        u = np.array(rnea_j(jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qd), jnp.asarray(qdd)))
+        assert np.all(np.abs(u - out["u_c"][t_idx]) <= out["u_r"][t_idx] + 1e-8), (
+            f"dev {np.abs(u - out['u_c'][t_idx]) - out['u_r'][t_idx]}"
+        )
+
+        sm = rng.uniform(0.97, 1.03, 7)
+        u_p = np.array(
+            rnea_params_j(
+                jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qd), jnp.asarray(qdd),
+                jnp.asarray(SPEC.mass * sm), jnp.asarray(SPEC.inertia * sm[:, None, None]),
+            )
+        )
+        assert np.all(np.abs(u_p - out["u_c"][t_idx]) <= out["torque_radius"][t_idx] + 1e-8)
+
+
+def test_torque_radius_reasonable(traj_state):
+    """Radius must not be so conservative that it eats the torque budget
+    (guards hard-part (b) of SURVEY §7)."""
+    q0, qd0, qdd0 = traj_state
+    out = rs_probe(q0, qd0, qdd0, jnp.zeros(7))
+    frac = np.array(out["torque_radius"]) / SPEC.torque_limits[None, :]
+    assert np.max(frac) < 0.85, f"torque radius consumes {np.max(frac):.0%} of limits"

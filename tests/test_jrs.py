@@ -1,0 +1,160 @@
+"""Containment tests for the Bezier JRS (reference oracle style:
+`PZ_tests.cu` / `debug_script.m` — sampled real trajectories must lie inside
+the sliced sets).
+
+The whole JRS construction + slicing is probed through one jitted function
+(compiled once per module) — eager per-op dispatch is far too slow.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.config import PlannerConfig
+from armour_tpu.jrs.bezier import (
+    bezier_ref,
+    joint_position_extrema,
+    joint_velocity_extrema,
+    make_bezier_jrs,
+    q_des_fn,
+    qd_des_fn,
+    qdd_des_fn,
+)
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+SPEC = kinova_gen3_spec()
+CFG = PlannerConfig(num_time_steps=16)
+
+
+@jax.jit
+def probe(q0, qd0, qdd0, k):
+    """Build the JRS and slice everything at k -> stacked (T, nf) arrays."""
+    jrs = make_bezier_jrs(SPEC, CFG, q0, qd0, qdd0)
+
+    def sl(pzs):
+        cs, rs = zip(*[p.slice(k) for p in pzs])
+        return jnp.stack(cs, -1), jnp.stack(rs, -1)
+
+    out = {}
+    out["cos_c"], out["cos_r"] = sl(jrs.cos_q)
+    out["sin_c"], out["sin_r"] = sl(jrs.sin_q)
+    out["qd_c"], out["qd_r"] = sl(jrs.qd_des)
+    out["qdd_c"], out["qdd_r"] = sl(jrs.qdda_des)
+    out["pos_mn"], out["pos_mx"] = joint_position_extrema(jrs, k)
+    out["vel_mn"], out["vel_mx"] = joint_velocity_extrema(jrs, k)
+    return out
+
+
+@jax.jit
+def extrema_grad(q0, qd0, qdd0, k):
+    jrs = make_bezier_jrs(SPEC, CFG, q0, qd0, qdd0)
+
+    def worst(kk):
+        mn, mx = joint_position_extrema(jrs, kk)
+        mnv, mxv = joint_velocity_extrema(jrs, kk)
+        return jnp.sum(mx - mn) + jnp.sum(mxv - mnv)
+
+    return jax.grad(worst)(k)
+
+
+@pytest.fixture
+def state(rng):
+    q0 = rng.uniform(-1.5, 1.5, 7)
+    qd0 = rng.uniform(-0.5, 0.5, 7)
+    qdd0 = rng.uniform(-1.0, 1.0, 7)
+    return q0, qd0, qdd0
+
+
+def test_bezier_endpoint_conditions(state):
+    """Bezier starts at (q0, qd0, qdd0) and ends at (q0 + k, 0, 0)."""
+    q0, qd0, qdd0 = state
+    ka = CFG.k_range * np.array([0.3, -0.5, 0.9, 0.0, 1.0, -1.0, 0.2])
+    q_s, qd_s, qdd_s = bezier_ref(q0, qd0, qdd0, ka, 0.0, CFG.duration)
+    np.testing.assert_allclose(np.array(q_s), q0, atol=1e-12)
+    np.testing.assert_allclose(np.array(qd_s), qd0, atol=1e-10)
+    np.testing.assert_allclose(np.array(qdd_s), qdd0, atol=1e-9)
+    q_e, qd_e, qdd_e = bezier_ref(q0, qd0, qdd0, ka, CFG.duration, CFG.duration)
+    np.testing.assert_allclose(np.array(q_e), q0 + ka, atol=1e-12)
+    np.testing.assert_allclose(np.array(qd_e), 0.0, atol=1e-10)
+    np.testing.assert_allclose(np.array(qdd_e), 0.0, atol=1e-9)
+
+
+def test_jrs_containment(state, rng):
+    """cos/sin/qd/qdd PZs contain the exact trajectory (and tracking-error
+    perturbed trajectories) at sampled (k, t)."""
+    q0, qd0, qdd0 = state
+    T = CFG.num_time_steps
+    Tqd0 = qd0 * CFG.duration
+    TTqdd0 = qdd0 * CFG.duration**2
+
+    for _ in range(5):
+        k = rng.uniform(-1, 1, 7)
+        ka = CFG.k_range * k
+        out = {kk: np.array(v) for kk, v in probe(q0, qd0, qdd0, jnp.asarray(k)).items()}
+        t_idx = int(rng.integers(0, T))
+        s = rng.uniform(t_idx / T, (t_idx + 1) / T)
+        q = q_des_fn(q0, Tqd0, TTqdd0, ka, s)
+        qd = qd_des_fn(q0, Tqd0, TTqdd0, ka, s) / CFG.duration
+        qdd = qdd_des_fn(q0, Tqd0, TTqdd0, ka, s) / CFG.duration**2
+        e_q = rng.uniform(-SPEC.qe, SPEC.qe, 7)
+        e_qd = rng.uniform(-SPEC.qde, SPEC.qde, 7)
+
+        assert np.all(np.abs(np.cos(q) - out["cos_c"][t_idx]) <= out["cos_r"][t_idx] + 1e-10)
+        assert np.all(np.abs(np.cos(q + e_q) - out["cos_c"][t_idx]) <= out["cos_r"][t_idx] + 1e-10)
+        assert np.all(np.abs(np.sin(q) - out["sin_c"][t_idx]) <= out["sin_r"][t_idx] + 1e-10)
+        assert np.all(np.abs(np.sin(q + e_q) - out["sin_c"][t_idx]) <= out["sin_r"][t_idx] + 1e-10)
+        assert np.all(np.abs(qd - out["qd_c"][t_idx]) <= out["qd_r"][t_idx] + 1e-10)
+        assert np.all(np.abs(qd + e_qd - out["qd_c"][t_idx]) <= out["qd_r"][t_idx] + 1e-10)
+        assert np.all(np.abs(qdd - out["qdd_c"][t_idx]) <= out["qdd_r"][t_idx] + 1e-10)
+
+
+def test_jrs_tightness(state):
+    """cos/sin radii should be small — guards gross over-approximation."""
+    q0, qd0, qdd0 = state
+    out = probe(q0, qd0, qdd0, jnp.zeros(7))
+    assert float(jnp.max(out["cos_r"])) < 0.25
+    assert float(jnp.max(out["sin_r"])) < 0.25
+
+
+def test_position_extrema_bound_trajectory(state, rng):
+    q0, qd0, qdd0 = state
+    Tqd0 = qd0 * CFG.duration
+    TTqdd0 = qdd0 * CFG.duration**2
+    for _ in range(5):
+        k = rng.uniform(-1, 1, 7)
+        out = probe(q0, qd0, qdd0, jnp.asarray(k))
+        mn, mx = np.array(out["pos_mn"]), np.array(out["pos_mx"])
+        ka = CFG.k_range * k
+        ss = np.linspace(0, 1, 200)
+        qs = np.stack([q_des_fn(q0, Tqd0, TTqdd0, ka, s) for s in ss])
+        assert np.all(qs.min(0) >= mn - 1e-6)
+        assert np.all(qs.max(0) <= mx + 1e-6)
+        assert np.all(qs.min(0) - mn < 1e-3)
+        assert np.all(mx - qs.max(0) < 1e-3)
+
+
+def test_velocity_extrema_bound_trajectory(state, rng):
+    q0, qd0, qdd0 = state
+    Tqd0 = qd0 * CFG.duration
+    TTqdd0 = qdd0 * CFG.duration**2
+    for _ in range(5):
+        k = rng.uniform(-1, 1, 7)
+        out = probe(q0, qd0, qdd0, jnp.asarray(k))
+        mn, mx = np.array(out["vel_mn"]), np.array(out["vel_mx"])
+        ka = CFG.k_range * k
+        ss = np.linspace(0, 1, 400)
+        qds = np.stack([qd_des_fn(q0, Tqd0, TTqdd0, ka, s) / CFG.duration for s in ss])
+        assert np.all(qds.min(0) >= mn - 1e-5)
+        assert np.all(qds.max(0) <= mx + 1e-5)
+        assert np.all(qds.min(0) - mn < 1e-2)
+        assert np.all(mx - qds.max(0) < 1e-2)
+
+
+def test_extrema_gradients_finite(state):
+    """Gradients of the state-limit constraints must be finite everywhere
+    (autodiff replaces Trajectory.cu:601-810)."""
+    q0, qd0, qdd0 = state
+    for kv in [np.zeros(7), 0.7 * np.ones(7), np.array([1, -1, 1, -1, 1, -1, 0.0])]:
+        g = extrema_grad(q0, qd0, qdd0, jnp.asarray(kv))
+        assert np.all(np.isfinite(np.array(g)))
