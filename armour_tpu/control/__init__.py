@@ -1,0 +1,3 @@
+from armour_tpu.control.robust import robust_control, althoff_control
+
+__all__ = ["robust_control", "althoff_control"]

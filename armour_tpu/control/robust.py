@@ -1,0 +1,119 @@
+"""ARMOUR robust CBF passivity controller (+ ALTHOFF comparison variant).
+
+TPU-native rebuild of the reference controller stack:
+`uarmtd_robust_CBF_LLC.m:58-189` (MATLAB path) and
+`kinova_robust_controllers_mex/robust_controller.cpp:62-175` (MEX path).
+
+Control law (ARMOUR):
+    r       = (qd_des - qd) + Kr (q_des - q)
+    tau     = RNEA(q, qd, qd_ref, qdd_ref)          (nominal params)
+    Phi     = interval RNEA disturbance bound       (±3% inertia)
+    V       = sup 0.5 r^T M_int r                   (interval mass, incl.
+                                                     transmission inertia)
+    h       = -V + V_max
+    lambda  = max(0, -alpha h / ||r|| + ||Phi||)
+    u       = tau + lambda * r / ||r||              (v sign as in the MATLAB
+                                                     path: u = tau + v)
+
+Everything is jit/vmap-friendly and batched; gradients flow if needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from armour_tpu.dynamics.rnea import rnea, rnea_interval
+from armour_tpu.robots.spec import RobotSpec
+
+
+def _wrap(x):
+    return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+def robust_control(
+    spec: RobotSpec,
+    q,
+    qd,
+    q_des,
+    qd_des,
+    qdd_des,
+    mass_scale: tuple[float, float] | None = None,
+    r_norm_threshold: float = 1e-9,
+    wrap_continuous: bool = True,
+):
+    """Returns (u, tau_nominal, v_robust), each (..., nf).
+
+    ``mass_scale`` overrides the inertial uncertainty range for the
+    disturbance bound (controller benchmark sweeps it,
+    `kinova_compare_robust_controller.m:17-30`).
+    """
+    err = q_des - q
+    if wrap_continuous:
+        cont = jnp.asarray(spec.continuous_joints)
+        err = jnp.where(cont, _wrap(err), err)
+    d_err = qd_des - qd
+    qd_ref = qd_des + spec.kr * err
+    qdd_ref = qdd_des + spec.kr * d_err
+    r = d_err + spec.kr * err
+
+    # nominal feedforward+feedback torque (incl. transmission inertia, as in
+    # the MEX model's transI term, rnea.cpp backward pass)
+    tau = rnea(spec, q, qd, qd_ref, qdd_ref, use_gravity=True, use_armature=True)
+
+    # disturbance bound Phi (interval RNEA minus nominal)
+    iv = rnea_interval(spec, q, qd, qd_ref, qdd_ref, use_gravity=True,
+                       mass_scale=mass_scale, use_armature=True)
+    phi = 0.5 * (iv.hi - iv.lo)  # (..., nf) symmetric bound
+    rho = jnp.linalg.norm(phi, axis=-1)
+
+    # Lyapunov bound V = sup 0.5 r^T M_int r via the RNEA trick
+    # (robust_controller.cpp:137-146): M r = RNEA(q, 0, 0, r, no gravity)
+    z = jnp.zeros_like(q)
+    Mr = rnea_interval(spec, q, z, z, r, use_gravity=False,
+                       mass_scale=mass_scale, use_armature=True)
+    V_sup = 0.5 * jnp.sum(
+        jnp.maximum(r * Mr.lo, r * Mr.hi), axis=-1
+    )
+
+    h = -V_sup + spec.v_max
+    r_norm = jnp.linalg.norm(r, axis=-1)
+    safe_norm = jnp.where(r_norm > r_norm_threshold, r_norm, 1.0)
+    lam = jnp.maximum(0.0, -spec.alpha * h / safe_norm + rho)
+    v = jnp.where(
+        (r_norm > r_norm_threshold)[..., None],
+        lam[..., None] * r / safe_norm[..., None],
+        0.0,
+    )
+    return tau + v, tau, v
+
+
+def althoff_control(
+    spec: RobotSpec,
+    q,
+    qd,
+    q_des,
+    qd_des,
+    qdd_des,
+    kp=(28.1037, 2.0),
+    ki=(2.0, 0.2),
+    e_acc=0.0,
+    mass_scale: tuple[float, float] | None = None,
+):
+    """ALTHOFF PI-gain robust variant (`robust_controller.cpp:118-130`,
+    `kinova_controller_ALTHOFF.cpp`): v = -(kappa ||Phi|| + phi_t) r."""
+    err = q_des - q
+    cont = jnp.asarray(spec.continuous_joints)
+    err = jnp.where(cont, _wrap(err), err)
+    d_err = qd_des - qd
+    qd_ref = qd_des + spec.kr * err
+    qdd_ref = qdd_des + spec.kr * d_err
+    r = d_err + spec.kr * err
+
+    tau = rnea(spec, q, qd, qd_ref, qdd_ref, use_gravity=True, use_armature=True)
+    iv = rnea_interval(spec, q, qd, qd_ref, qdd_ref, use_gravity=True,
+                       mass_scale=mass_scale, use_armature=True)
+    phi = 0.5 * (iv.hi - iv.lo)
+    phi_t = kp[0] + ki[0] * e_acc
+    kappa_t = kp[1] + ki[1] * e_acc
+    v = (kappa_t * jnp.linalg.norm(phi, axis=-1) + phi_t)[..., None] * r
+    return tau + v, tau, v

@@ -1,0 +1,4 @@
+from armour_tpu.planner.nlp import solve_box_alm
+from armour_tpu.planner.armour import ArmourPlanner, PlanResult
+
+__all__ = ["solve_box_alm", "ArmourPlanner", "PlanResult"]

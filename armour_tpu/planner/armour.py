@@ -1,0 +1,177 @@
+"""The ARMOUR planner: reachable sets -> constraints -> batched NLP.
+
+TPU-native equivalent of the reference's real-time planner process
+(`armour_main.cu` + `NLPclass.cu`): one jit-compiled function maps
+(q0, qd0, qdd0, q_des, obstacles) -> k_opt, entirely on device, vmappable
+over worlds.  The file-IPC process boundary of the reference
+(`uarmtd_planner.m:167-241`) disappears.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from armour_tpu.collision.zonotope import (
+    ObstacleSet,
+    buffer_obstacles,
+    collision_constraint_values,
+)
+from armour_tpu.config import PlannerConfig
+from armour_tpu.dynamics.pz_rnea import build_reachable_sets
+from armour_tpu.jrs.bezier import (
+    joint_position_extrema,
+    joint_velocity_extrema,
+    make_bezier_jrs,
+    q_des_fn,
+)
+from armour_tpu.planner.nlp import solve_box_alm
+from armour_tpu.robots.spec import RobotSpec
+
+
+def wrap_to_pi(x):
+    """(NLPclass.cu:6-15), branch-free."""
+    return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+class PlanResult(NamedTuple):
+    k: jnp.ndarray            # (nf,) in [-1,1]; NaN row if infeasible
+    feasible: jnp.ndarray     # bool
+    cost: jnp.ndarray         # final cost (unscaled by COST_SCALE)
+    max_violation: jnp.ndarray
+    torque_radius: jnp.ndarray  # (T, nf) exported like armour_control_input_radius.out
+
+
+@dataclasses.dataclass
+class ArmourPlanner:
+    """Builds and holds the jitted planning function.
+
+    ``plan(q0, qd0, qdd0, q_des, obs_zonos, obs_mask, key)`` — all array
+    args; obstacles padded to cfg.max_obstacles.  Use ``plan_batch`` (vmap)
+    for many worlds at once.
+    """
+
+    spec: RobotSpec
+    cfg: PlannerConfig
+    dtype: object = jnp.float64
+
+    def __post_init__(self):
+        self._plan = jax.jit(self._make_plan_fn())
+        self.plan_batch = jax.jit(
+            jax.vmap(self._make_plan_fn(), in_axes=(0, 0, 0, 0, 0, 0, 0))
+        )
+
+    def plan(self, q0, qd0, qdd0, q_des, obstacles: ObstacleSet, key=None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._plan(
+            jnp.asarray(q0, self.dtype),
+            jnp.asarray(qd0, self.dtype),
+            jnp.asarray(qdd0, self.dtype),
+            jnp.asarray(q_des, self.dtype),
+            obstacles.zonos.astype(self.dtype),
+            obstacles.mask,
+            key,
+        )
+
+    # -- construction -----------------------------------------------------
+    def _make_plan_fn(self):
+        spec, cfg, dtype = self.spec, self.cfg, self.dtype
+        nf = spec.n_factors
+        t_lim = jnp.asarray(spec.torque_limits, dtype)
+        pos_lb = jnp.asarray(spec.pos_limits_lb + spec.qe, dtype)
+        pos_ub = jnp.asarray(spec.pos_limits_ub - spec.qe, dtype)
+        vel_lb = jnp.asarray(-spec.speed_limits + spec.qde, dtype)
+        vel_ub = jnp.asarray(spec.speed_limits - spec.qde, dtype)
+        cont = jnp.asarray(spec.continuous_joints)
+        s_plan = cfg.t_plan / cfg.duration
+
+        def plan(q0, qd0, qdd0, q_des, obs_zonos, obs_mask, key):
+            jrs = make_bezier_jrs(spec, cfg, q0, qd0, qdd0, dtype)
+            rs = build_reachable_sets(spec, cfg, jrs, dtype)
+            hp = buffer_obstacles(
+                rs.link_indep_gens,
+                ObstacleSet(obs_zonos, obs_mask),
+                slack=cfg.collision_numeric_slack,
+            )
+            t_rad = rs.torque_radius  # (T, nf)
+
+            def blocks(k):
+                """Constraint blocks, each feasible iff <= 0."""
+                out = {}
+                if cfg.input_constraints:
+                    u_c = jnp.stack([u.slice(k)[0] for u in rs.u_nom], axis=-1)
+                    out["torque"] = jnp.concatenate(
+                        [
+                            (u_c - (t_lim - t_rad)).ravel(),
+                            ((-t_lim + t_rad) - u_c).ravel(),
+                        ]
+                    )
+                centers = jnp.stack([p.slice(k)[0] for p in rs.link_pz], axis=1)
+                out["collision"] = collision_constraint_values(hp, centers).ravel()
+                mn, mx = joint_position_extrema(jrs, k)
+                out["position"] = jnp.concatenate(
+                    [pos_lb - mn, mn - pos_ub, pos_lb - mx, mx - pos_ub]
+                )
+                vn, vx = joint_velocity_extrema(jrs, k)
+                out["velocity"] = jnp.concatenate(
+                    [vel_lb - vn, vn - vel_ub, vel_lb - vx, vx - vel_ub]
+                )
+                return out
+
+            def c_fn(k):
+                return jnp.concatenate(list(blocks(k).values()))
+
+            def f_fn(k):
+                q_plan = q_des_fn(q0, jrs.Tqd0, jrs.TTqdd0, jrs.k_range * k, s_plan)
+                d = q_plan - q_des
+                d = jnp.where(cont, wrap_to_pi(d), d)
+                return cfg.cost_scale * jnp.sum(d * d)
+
+            # multi-start: k = 0 (reference init, NLPclass.cu:193-199) plus
+            # random interior points (uarmtd_planner.m:768)
+            k_rand = jax.random.uniform(
+                key, (cfg.nlp_num_starts - 1, nf), dtype, minval=-0.6, maxval=0.6
+            )
+            k0s = jnp.concatenate([jnp.zeros((1, nf), dtype), k_rand])
+
+            sol = jax.vmap(
+                lambda k0: solve_box_alm(
+                    f_fn,
+                    c_fn,
+                    k0,
+                    outer_iters=cfg.nlp_outer_iters,
+                    inner_iters=cfg.nlp_inner_iters,
+                )
+            )(k0s)
+
+            # strict re-verification of every candidate
+            # (finalize_solution port, NLPclass.cu:446-538)
+            def verify(k):
+                b = blocks(k)
+                ok = jnp.asarray(True)
+                if cfg.input_constraints:
+                    ok &= jnp.max(b["torque"]) <= cfg.torque_violation_threshold
+                ok &= jnp.max(b["collision"]) <= cfg.collision_violation_threshold
+                ok &= jnp.max(b["position"]) <= 1e-9
+                ok &= jnp.max(b["velocity"]) <= 1e-9
+                return ok
+
+            feas = jax.vmap(verify)(sol.k)
+            costs = jnp.where(feas, sol.cost, jnp.inf)
+            best = jnp.argmin(costs)
+            feasible = feas[best]
+            k_best = sol.k[best]
+            return PlanResult(
+                k=jnp.where(feasible, k_best, jnp.nan),
+                feasible=feasible,
+                cost=sol.cost[best] / cfg.cost_scale,
+                max_violation=sol.max_violation[best],
+                torque_radius=t_rad,
+            )
+
+        return plan

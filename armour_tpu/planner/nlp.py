@@ -1,0 +1,101 @@
+"""Batched box-constrained NLP solver: augmented Lagrangian + projected
+Gauss-Newton.
+
+Replaces the reference's Ipopt dependency (`NLPclass.{h,cu}`,
+`armour_main.cu:254-290`) with a fully jittable solver shaped for TPU:
+
+- n = 7 decision variables, dense m x 7 Jacobian via `jax.linearize`
+  (7 forward tangents), 7x7 Gauss-Newton systems solved in-register;
+- fixed iteration counts (lax.scan) — no data-dependent control flow, so
+  thousands of problems vmap into one XLA program;
+- robustness comes from multi-start batching (the reference seeds fmincon
+  with random starts for the same reason, `uarmtd_planner.m:746-775`) plus
+  strict post-verification of every candidate (`NLPclass.cu:422-538`
+  finalize_solution port lives in planner/armour.py).
+
+Problem form:  min f(k)  s.t.  c(k) <= 0 (one-sided),  k in [-1, 1]^n.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ALMResult(NamedTuple):
+    k: jnp.ndarray          # (n,) final iterate
+    max_violation: jnp.ndarray
+    cost: jnp.ndarray
+
+
+def solve_box_alm(
+    f_fn: Callable,
+    c_fn: Callable,
+    k0: jnp.ndarray,
+    outer_iters: int = 14,
+    inner_iters: int = 14,
+    mu0: float = 10.0,
+    mu_growth: float = 4.0,
+    mu_max: float = 1e6,
+    newton_reg: float = 1e-8,
+    ls_steps: int = 6,
+) -> ALMResult:
+    """Single-problem ALM; vmap over starts/problems externally.
+
+    f_fn: k -> scalar cost; c_fn: k -> (m,) constraints (feasible iff <= 0).
+    """
+    n = k0.shape[0]
+    m = c_fn(k0).shape[0]
+    dtype = k0.dtype
+
+    def al_value(k, lam, mu):
+        c = c_fn(k)
+        # PHR augmented Lagrangian for inequality constraints
+        a = jnp.maximum(0.0, lam + mu * c)
+        return f_fn(k) + jnp.sum(a * a - lam * lam) / (2.0 * mu)
+
+    def inner_step(carry, _):
+        k, lam, mu = carry
+        c, jvp = jax.linearize(c_fn, k)
+        J = jax.vmap(jvp)(jnp.eye(n, dtype=dtype))  # (n, m) tangents
+        J = J.T                                      # (m, n)
+        fval, fgrad = jax.value_and_grad(f_fn)(k)
+        a = jnp.maximum(0.0, lam + mu * c)           # (m,)
+        grad = fgrad + J.T @ a
+        active = (a > 0.0).astype(dtype)
+        H = mu * jnp.einsum("mi,m,mj->ij", J, active, J)
+        H = H + jax.hessian(f_fn)(k) + newton_reg * jnp.eye(n, dtype=dtype)
+        # solve with Levenberg fallback on ill-conditioning
+        dk = -jnp.linalg.solve(H + 1e-10 * jnp.eye(n, dtype=dtype), grad)
+        # backtracking line search on the AL merit with box projection
+        phi0 = al_value(k, lam, mu)
+
+        def try_alpha(alpha):
+            k_new = jnp.clip(k + alpha * dk, -1.0, 1.0)
+            return k_new, al_value(k_new, lam, mu)
+
+        alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
+        k_cands, phis = jax.vmap(try_alpha)(alphas)
+        best = jnp.argmin(phis)
+        improved = phis[best] < phi0
+        k_next = jnp.where(improved, k_cands[best], k)
+        return (k_next, lam, mu), None
+
+    def outer_step(carry, _):
+        k, lam, mu, prev_viol = carry
+        (k, lam, mu), _ = jax.lax.scan(inner_step, (k, lam, mu), None, length=inner_iters)
+        c = c_fn(k)
+        viol = jnp.max(jnp.maximum(c, 0.0))
+        lam = jnp.maximum(0.0, lam + mu * c)
+        # grow the penalty when violation is not shrinking fast enough
+        mu = jnp.where(viol > 0.25 * prev_viol, jnp.minimum(mu * mu_growth, mu_max), mu)
+        return (k, lam, mu, viol), None
+
+    lam0 = jnp.zeros(m, dtype)
+    big = jnp.asarray(jnp.inf, dtype)
+    (k, lam, mu, viol), _ = jax.lax.scan(
+        outer_step, (k0, lam0, jnp.asarray(mu0, dtype), big), None, length=outer_iters
+    )
+    return ALMResult(k=k, max_violation=viol, cost=f_fn(k))

@@ -1,0 +1,11 @@
+from armour_tpu.sim.agent import TrajParams, traj_eval, rollout
+from armour_tpu.sim.world import World, goal_check, arm_collision_check
+
+__all__ = [
+    "TrajParams",
+    "traj_eval",
+    "rollout",
+    "World",
+    "goal_check",
+    "arm_collision_check",
+]

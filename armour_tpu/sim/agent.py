@@ -1,0 +1,141 @@
+"""Plant simulation: jitted fixed-step rollout with the robust controller in
+the loop.
+
+TPU-native rebuild of `uarmtd_agent.m` (C13): true dynamics
+qdd = M^-1 (u - C qd - g) with transmission inertia on the M diagonal
+(`uarmtd_agent.m:385-424`), integrated with RK4 at a fixed sub-millisecond
+step instead of ode15s (`uarmtd_agent.m:292-311`) — fixed step counts keep
+the whole episode jit/vmap-able.  Tracking fidelity is validated against
+the ultimate bound in tests (the controller guarantees the error stays
+inside eps regardless of integrator details).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from armour_tpu.config import SimConfig
+from armour_tpu.control.robust import robust_control
+from armour_tpu.dynamics.rnea import bias_forces, mass_matrix, rnea
+from armour_tpu.jrs.bezier import bezier_ref
+from armour_tpu.robots.spec import RobotSpec
+
+
+class TrajParams(NamedTuple):
+    """Active reference trajectory: a Bezier (q0, qd0, qdd0, k_actual) with a
+    time offset.  The braking fallback (`uarmtd_planner.m:883-933`) is
+    "continue the previous Bezier shifted by t_move": offset += t_move.
+    Clamping s to [0, 1] yields the exact terminal hold (qd = qdd = 0 at
+    s = 1 by construction of the Bezier)."""
+
+    q0: jnp.ndarray
+    qd0: jnp.ndarray
+    qdd0: jnp.ndarray
+    k_actual: jnp.ndarray
+    t_offset: jnp.ndarray  # scalar
+
+
+def traj_eval(p: TrajParams, t, duration: float = 1.0):
+    """Reference (q, qd, qdd) at local time t (offset applied, s clamped)."""
+    tt = jnp.clip(t + p.t_offset, 0.0, duration)
+    return bezier_ref(p.q0, p.qd0, p.qdd0, p.k_actual, tt, duration)
+
+
+class TrueParams(NamedTuple):
+    """The plant's true (unknown to the controller) inertial parameters as
+    per-link scale factors (`uarmtd_agent` params.true)."""
+
+    mass_scale: jnp.ndarray     # (n_joints,)
+    inertia_scale: jnp.ndarray  # (n_joints,)
+
+
+class RolloutLog(NamedTuple):
+    t: jnp.ndarray        # (S,)
+    q: jnp.ndarray        # (S, nf)
+    qd: jnp.ndarray
+    q_ref: jnp.ndarray
+    qd_ref: jnp.ndarray
+    u: jnp.ndarray
+
+
+def rollout(
+    spec: RobotSpec,
+    sim: SimConfig,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    traj: TrajParams,
+    true_params: TrueParams,
+    duration: float = 1.0,
+):
+    """Integrate the closed loop over [0, t_move].
+
+    Returns (q_end, qd_end, log at check_dt resolution).
+    """
+    n_steps = int(round(sim.t_move / sim.plant_dt))
+    log_every = max(1, int(round(sim.check_dt / sim.plant_dt)))
+    mass_true = jnp.asarray(spec.mass) * true_params.mass_scale
+    inertia_true = jnp.asarray(spec.inertia) * true_params.inertia_scale[:, None, None]
+
+    def control(t, q, qd):
+        q_des, qd_des, qdd_des = traj_eval(traj, t, duration)
+        u, _, _ = robust_control(spec, q, qd, q_des, qd_des, qdd_des)
+        return u
+
+    def plant_acc(q, qd, u):
+        M = mass_matrix_true(q)
+        b = bias_true(q, qd)
+        return jnp.linalg.solve(M, u - b)
+
+    # true-params mass matrix / bias via RNEA with overridden params
+    def mass_matrix_true(q):
+        nf = spec.n_factors
+        eye = jnp.eye(nf, dtype=q.dtype)
+        cols = [
+            rnea(spec, q, jnp.zeros_like(q), jnp.zeros_like(q), eye[i],
+                 use_gravity=False, mass=mass_true, inertia=inertia_true,
+                 use_armature=True)
+            for i in range(nf)
+        ]
+        return jnp.stack(cols, axis=-1)
+
+    def bias_true(q, qd):
+        return rnea(spec, q, qd, qd, jnp.zeros_like(q), use_gravity=True,
+                    mass=mass_true, inertia=inertia_true, use_armature=False)
+
+    dt = sim.plant_dt
+
+    def rk4_step(carry, i):
+        q, qd = carry
+        t = i * dt
+        u = control(t, q, qd)  # zero-order hold within the step
+
+        def f(state):
+            qq, dq = state
+            return dq, plant_acc(qq, dq, u)
+
+        k1 = f((q, qd))
+        k2 = f((q + 0.5 * dt * k1[0], qd + 0.5 * dt * k1[1]))
+        k3 = f((q + 0.5 * dt * k2[0], qd + 0.5 * dt * k2[1]))
+        k4 = f((q + dt * k3[0], qd + dt * k3[1]))
+        q_n = q + dt / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        qd_n = qd + dt / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        q_ref, qd_ref, _ = traj_eval(traj, t, duration)
+        return (q_n, qd_n), (t, q, qd, q_ref, qd_ref, u)
+
+    (q_end, qd_end), hist = jax.lax.scan(
+        rk4_step, (q, qd), jnp.arange(n_steps, dtype=q.dtype)
+    )
+    # subsample to check_dt resolution for the safety oracles
+    idx = jnp.arange(0, n_steps, log_every)
+    log = RolloutLog(
+        t=hist[0][idx],
+        q=hist[1][idx],
+        qd=hist[2][idx],
+        q_ref=hist[3][idx],
+        qd_ref=hist[4][idx],
+        u=hist[5][idx],
+    )
+    return q_end, qd_end, log

@@ -1,0 +1,136 @@
+"""Worlds, goal checks, and the ground-truth collision oracle.
+
+Rebuild of the reference world layer (C17: `simulator/worlds/*`,
+`kinova_world_static.m`) with a jittable OBB-vs-AABB separating-axis test
+replacing the mesh-level SurfaceIntersection check
+(`arm_world_static.m:246-264`).  The link volumes checked are exactly the
+link bounding boxes the planner certifies, so the oracle is conservative
+w.r.t. the reference's mesh check: oracle-clean implies mesh-clean.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.dynamics.rnea import forward_kinematics
+from armour_tpu.robots.spec import RobotSpec
+
+
+class World(NamedTuple):
+    """A planning scenario: start/goal configurations + obstacle bank."""
+
+    start: jnp.ndarray          # (nf,)
+    goal: jnp.ndarray           # (nf,)
+    obstacles: ObstacleSet
+    goal_type: str = "configuration"
+
+
+def _wrap(x):
+    return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+def goal_check(spec: RobotSpec, q, goal, goal_radius: float):
+    """Configuration-space goal test (`kinova_world_static.m` goal_check):
+    every joint within goal_radius, with angdiff on continuous joints."""
+    d = q - goal
+    d = jnp.where(jnp.asarray(spec.continuous_joints), _wrap(d), d)
+    return jnp.all(jnp.abs(d) <= goal_radius, axis=-1)
+
+
+def obb_aabb_overlap(obb_c, obb_R, obb_half, aabb_c, aabb_half):
+    """Separating-axis test between an oriented box (center, rotation,
+    half-extents) and an axis-aligned box.  Batched over leading dims.
+
+    15 candidate axes: 3 world axes, 3 OBB axes, 9 cross products.
+    Returns True when the boxes overlap.
+    """
+    d = obb_c - aabb_c  # (..., 3)
+    axes = [jnp.zeros_like(d).at[..., i].set(1.0) for i in range(3)]
+    axes += [obb_R[..., :, i] for i in range(3)]
+    for i in range(3):
+        for j in range(3):
+            axes.append(jnp.cross(obb_R[..., :, i], axes[j]))
+    sep = jnp.zeros(d.shape[:-1], bool)
+    for L in axes:
+        norm = jnp.linalg.norm(L, axis=-1, keepdims=True)
+        Ln = jnp.where(norm > 1e-9, L / jnp.where(norm > 1e-9, norm, 1.0), 0.0)
+        dist = jnp.abs(jnp.sum(d * Ln, axis=-1))
+        r_obb = jnp.sum(
+            jnp.abs(jnp.einsum("...i,...ij->...j", Ln, obb_R)) * obb_half, axis=-1
+        )
+        r_aabb = jnp.sum(jnp.abs(Ln) * aabb_half, axis=-1)
+        degenerate = norm[..., 0] <= 1e-9
+        sep = sep | ((dist > r_obb + r_aabb) & ~degenerate)
+    return ~sep
+
+
+def arm_collision_check(
+    spec: RobotSpec,
+    q: jnp.ndarray,            # (..., nf) configurations to check
+    obstacles: ObstacleSet,
+):
+    """True iff ANY link box intersects ANY live obstacle at any given q.
+
+    Ground-truth oracle run post-hoc at check_dt resolution
+    (`worlds/world.m:135-209` trajectory-discretized collision_check).
+    Obstacles are treated as AABBs (box_obstacle_zonotope is axis-aligned).
+    """
+    Rw, pw = forward_kinematics(spec, q)          # (..., L, 3, 3), (..., L, 3)
+    centers_local = jnp.asarray(spec.link_zono_center, q.dtype)
+    half = jnp.asarray(spec.link_zono_gen, q.dtype)
+    obb_c = jnp.einsum("...lij,lj->...li", Rw, centers_local) + pw  # (..., L, 3)
+
+    obs_c = obstacles.zonos[:, 0, :]              # (O, 3)
+    obs_half = jnp.sum(jnp.abs(obstacles.zonos[:, 1:, :]), axis=1)  # (O, 3)
+
+    # broadcast to (..., L, O)
+    hit = obb_aabb_overlap(
+        obb_c[..., :, None, :],
+        Rw[..., :, None, :, :],
+        half[:, None, :],
+        obs_c[None, :, :],
+        obs_half[None, :, :],
+    )
+    hit = hit & obstacles.mask[None, :]
+    return jnp.any(hit, axis=(-1, -2))
+
+
+def random_world(
+    spec: RobotSpec,
+    key,
+    n_obstacles: int,
+    capacity: int,
+    obstacle_size_range=(0.01, 0.5),
+    workspace_radius: float = 0.9,
+    dtype=jnp.float64,
+):
+    """Random scenario generation in the style of `arm_world_static.m`
+    (random start/goal + random boxes; the caller should rejection-sample
+    against `arm_collision_check` at start/goal like the reference's
+    create_random_obstacles path)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    lb = np.where(spec.continuous_joints, -np.pi, spec.pos_limits_lb + 0.05)
+    ub = np.where(spec.continuous_joints, np.pi, spec.pos_limits_ub - 0.05)
+    start = jax.random.uniform(k1, (spec.n_factors,), dtype) * (ub - lb) + lb
+    goal = jax.random.uniform(k2, (spec.n_factors,), dtype) * (ub - lb) + lb
+    centers = jax.random.uniform(
+        k3, (n_obstacles, 3), dtype, minval=-workspace_radius, maxval=workspace_radius
+    )
+    # keep obstacles above the table plane
+    centers = centers.at[:, 2].set(jnp.abs(centers[:, 2]) + 0.1)
+    sides = jax.random.uniform(
+        k4, (n_obstacles, 3), dtype,
+        minval=obstacle_size_range[0], maxval=obstacle_size_range[1],
+    )
+    zonos = jnp.zeros((capacity, 4, 3), dtype)
+    zonos = zonos.at[:n_obstacles, 0].set(centers)
+    for i in range(3):
+        zonos = zonos.at[:n_obstacles, 1 + i, i].set(sides[:, i] * 0.5)
+    mask = jnp.arange(capacity) < n_obstacles
+    obstacles = ObstacleSet(zonos, mask)
+    return World(start=start, goal=goal, obstacles=obstacles)

@@ -1,0 +1,138 @@
+"""End-to-end planner tests (mini `kinova_simple_example` style).
+
+Checks, via independent numeric oracles, that a returned plan:
+- drives q(t_plan) toward the waypoint,
+- keeps RNEA torques inside limits minus radius,
+- keeps link volumes out of the obstacles,
+and that blocked scenarios are reported infeasible.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.config import PlannerConfig
+from armour_tpu.dynamics.rnea import forward_kinematics, rnea
+from armour_tpu.jrs.bezier import bezier_ref
+from armour_tpu.planner.armour import ArmourPlanner
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+SPEC = kinova_gen3_spec()
+CFG = PlannerConfig(
+    num_time_steps=16,
+    max_obstacles=4,
+    nlp_num_starts=4,
+    nlp_outer_iters=8,
+    nlp_inner_iters=8,
+)
+PLANNER = ArmourPlanner(SPEC, CFG)
+
+Q_HOME = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+
+
+def empty_world():
+    return ObstacleSet.from_boxes(
+        np.zeros((0, 3)), np.zeros((0, 3)), CFG.max_obstacles
+    )
+
+
+def far_world():
+    return ObstacleSet.from_boxes(
+        np.array([[5.0, 5.0, 5.0], [-5.0, -5.0, 1.0]]),
+        np.array([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2]]),
+        CFG.max_obstacles,
+    )
+
+
+def test_reaches_waypoint_free_space():
+    qd0 = np.zeros(7)
+    qdd0 = np.zeros(7)
+    q_des = Q_HOME + 0.8 * CFG.k_range  # inside the reachable k-range
+    res = PLANNER.plan(Q_HOME, qd0, qdd0, q_des, far_world())
+    assert bool(res.feasible), f"infeasible, max_violation={res.max_violation}"
+    k = np.array(res.k)
+    q_plan, _, _ = bezier_ref(Q_HOME, qd0, qdd0, CFG.k_range * k, CFG.t_plan, CFG.duration)
+    # cost minimum: q(t_plan) as close to q_des as the parameterization allows
+    assert np.max(np.abs(np.array(q_plan) - q_des)) < 0.02
+
+
+def test_plan_respects_torque_limits():
+    qd0 = np.zeros(7)
+    qdd0 = np.zeros(7)
+    q_des = Q_HOME - 0.5 * CFG.k_range
+    res = PLANNER.plan(Q_HOME, qd0, qdd0, q_des, far_world())
+    assert bool(res.feasible)
+    k = np.array(res.k)
+    trad = np.array(res.torque_radius)
+    for s in np.linspace(0.001, 0.999, 23):
+        q, qd, qdd = bezier_ref(Q_HOME, qd0, qdd0, CFG.k_range * k, s, CFG.duration)
+        u = np.array(rnea(SPEC, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qd), jnp.asarray(qdd)))
+        t_idx = min(int(s * CFG.num_time_steps), CFG.num_time_steps - 1)
+        assert np.all(np.abs(u) <= SPEC.torque_limits - trad[t_idx] + 0.02), (
+            f"s={s}: torque {np.abs(u) - (SPEC.torque_limits - trad[t_idx])}"
+        )
+
+
+def test_plan_avoids_obstacle():
+    """Obstacle near the home-pose end effector: returned plans must keep
+    every link box strictly outside it along the whole trajectory."""
+    qd0 = np.zeros(7)
+    qdd0 = np.zeros(7)
+    Rw, pw = forward_kinematics(SPEC, jnp.asarray(Q_HOME))
+    ee = np.array(pw)[-1]
+    # a box 12 cm from the end effector, in the direction the goal pushes
+    obs_c = ee + np.array([0.12, 0.0, 0.0])
+    world = ObstacleSet.from_boxes(
+        obs_c[None, :], np.array([[0.08, 0.08, 0.08]]), CFG.max_obstacles
+    )
+    q_des = Q_HOME + 0.9 * CFG.k_range
+    res = PLANNER.plan(Q_HOME, qd0, qdd0, q_des, world)
+    if not bool(res.feasible):
+        return  # conservatism may rule everything out; that is safe
+    k = np.array(res.k)
+    half = np.array([0.04, 0.04, 0.04])
+    for s in np.linspace(0, 1, 40):
+        q, _, _ = bezier_ref(Q_HOME, qd0, qdd0, CFG.k_range * k, s, CFG.duration)
+        Rw, pw = forward_kinematics(SPEC, jnp.asarray(q))
+        for li in range(7):
+            # link box corners in world frame vs obstacle AABB
+            R = np.array(Rw)[li]
+            c = R @ SPEC.link_zono_center[li] + np.array(pw)[li]
+            ext = np.abs(R) @ SPEC.link_zono_gen[li]  # conservative AABB
+            sep = np.abs(c - obs_c) - (ext + half)
+            assert np.max(sep) > -1e-6, f"link {li} penetrates obstacle at s={s}"
+
+
+def test_blocked_scenario_infeasible():
+    """A huge box engulfing the whole workspace: no feasible plan."""
+    world = ObstacleSet.from_boxes(
+        np.array([[0.0, 0.0, 0.6]]), np.array([[3.0, 3.0, 1.5]]), CFG.max_obstacles
+    )
+    res = PLANNER.plan(Q_HOME, np.zeros(7), np.zeros(7), Q_HOME + 0.03, world)
+    assert not bool(res.feasible)
+    assert np.all(np.isnan(np.array(res.k)))
+
+
+def test_plan_batch_vmaps():
+    """plan_batch over 3 worlds == 3 single plans."""
+    qd0 = np.zeros(7)
+    q_des = Q_HOME + 0.5 * CFG.k_range
+    worlds = [empty_world(), far_world(), far_world()]
+    zonos = jnp.stack([w.zonos for w in worlds])
+    masks = jnp.stack([w.mask for w in worlds])
+    B = 3
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    res = PLANNER.plan_batch(
+        jnp.broadcast_to(jnp.asarray(Q_HOME), (B, 7)),
+        jnp.zeros((B, 7)),
+        jnp.zeros((B, 7)),
+        jnp.broadcast_to(jnp.asarray(q_des), (B, 7)),
+        zonos,
+        masks,
+        keys,
+    )
+    assert np.array(res.feasible).all()
+    single = PLANNER.plan(Q_HOME, qd0, np.zeros(7), q_des, worlds[0])
+    np.testing.assert_allclose(np.array(res.k[0]), np.array(single.k), atol=1e-6)
