@@ -1,0 +1,3 @@
+from armour_tpu.parallel.mesh import make_planner_mesh, sharded_plan_step
+
+__all__ = ["make_planner_mesh", "sharded_plan_step"]

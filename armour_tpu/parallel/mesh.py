@@ -1,0 +1,89 @@
+"""Multi-chip scale-out: device meshes + sharded planning.
+
+The reference is single-node (SURVEY.md §2 parallelism census: OpenMP over
+time steps, CUDA over the constraint grid, one planner process).  The
+TPU-native scale-out maps those axes onto a 2-D device mesh:
+
+- ``dp`` (data parallel): independent (world, initial-condition) planning
+  problems — the scenario-farm axis.  Pure sharding, no communication.
+- ``cp`` (constraint parallel): the obstacle/hyperplane bank of every
+  problem is split across devices; each shard evaluates its own collision
+  block and the NLP all-gathers the blocks over ICI
+  (`planner/armour.py` collision_axis).  This is the analog of the
+  reference's CUDA constraint grid, but across chips.
+
+Scaling "sequence length" (finer time discretization) needs no neighbor
+exchange — the time axis is embarrassingly parallel plus one max-reduce per
+constraint (SURVEY.md §5 long-context note).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from armour_tpu.config import PlannerConfig
+from armour_tpu.planner.armour import ArmourPlanner
+from armour_tpu.robots.spec import RobotSpec
+
+
+def make_planner_mesh(devices=None, cp_size: int | None = None) -> Mesh:
+    """Build a (dp, cp) mesh over the given devices.
+
+    ``cp_size`` defaults to 2 when the device count is even, else 1 —
+    constraint-parallelism only pays off for obstacle-dense scenes, so most
+    devices go to the world axis.
+    """
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if cp_size is None:
+        cp_size = 2 if n % 2 == 0 and n >= 2 else 1
+    assert n % cp_size == 0
+    dev_array = np.array(devices).reshape(n // cp_size, cp_size)
+    return Mesh(dev_array, axis_names=("dp", "cp"))
+
+
+def sharded_plan_step(
+    spec: RobotSpec,
+    cfg: PlannerConfig,
+    mesh: Mesh,
+    dtype=jnp.float32,
+):
+    """Jitted batched planning step sharded over (dp worlds, cp obstacles).
+
+    Returns ``step(q0, qd0, qdd0, q_des, zonos, masks, keys)`` where the
+    leading batch axis must be divisible by the dp size and the obstacle
+    capacity axis of ``zonos``/``masks`` by the cp size.
+    """
+    cp = mesh.shape["cp"]
+    planner = ArmourPlanner.__new__(ArmourPlanner)
+    planner.spec, planner.cfg, planner.dtype = spec, cfg, dtype
+    plan_fn = planner._make_plan_fn(collision_axis="cp" if cp > 1 else None)
+    plan_vmap = jax.vmap(plan_fn, in_axes=(0, 0, 0, 0, 0, 0, 0))
+
+    def local_step(q0, qd0, qdd0, q_des, zonos, masks, keys):
+        return plan_vmap(q0, qd0, qdd0, q_des, zonos, masks, keys)
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("dp"), P("dp"), P("dp"), P("dp"),
+            P("dp", "cp"),  # obstacle capacity axis sharded over cp
+            P("dp", "cp"),
+            P("dp"),
+        ),
+        out_specs=jax.tree_util.tree_map(lambda _: P("dp"), _plan_out_struct()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def _plan_out_struct():
+    """Pytree structure matching PlanResult for out_specs construction."""
+    from armour_tpu.planner.armour import PlanResult
+
+    z = 0
+    return PlanResult(k=z, feasible=z, cost=z, max_violation=z, torque_radius=z)

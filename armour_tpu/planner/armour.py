@@ -79,7 +79,15 @@ class ArmourPlanner:
         )
 
     # -- construction -----------------------------------------------------
-    def _make_plan_fn(self):
+    def _make_plan_fn(self, collision_axis: str | None = None):
+        """Build the plan function.
+
+        ``collision_axis``: optional mesh axis name for constraint-bank
+        ("cp") sharding — the obstacle capacity is split across devices,
+        each shard builds/evaluates only its hyperplane bank, and the
+        collision block is all-gathered over ICI inside the NLP (SURVEY.md
+        §5 distributed-communication design).
+        """
         spec, cfg, dtype = self.spec, self.cfg, self.dtype
         nf = spec.n_factors
         t_lim = jnp.asarray(spec.torque_limits, dtype)
@@ -112,7 +120,10 @@ class ArmourPlanner:
                         ]
                     )
                 centers = jnp.stack([p.slice(k)[0] for p in rs.link_pz], axis=1)
-                out["collision"] = collision_constraint_values(hp, centers).ravel()
+                col = collision_constraint_values(hp, centers)
+                if collision_axis is not None:
+                    col = jax.lax.all_gather(col, collision_axis)
+                out["collision"] = col.ravel()
                 mn, mx = joint_position_extrema(jrs, k)
                 out["position"] = jnp.concatenate(
                     [pos_lb - mn, mn - pos_ub, pos_lb - mx, mx - pos_ub]

@@ -1,0 +1,90 @@
+"""Throughput benchmark: safe 7-DOF trajectory optimizations per second.
+
+Runs the full ARMOUR planning pipeline (JRS -> PZ-FK/RNEA -> buffered
+obstacle constraints -> multi-start ALM NLP -> verification) batched over
+worlds on the available accelerator and prints ONE JSON line.
+
+Baseline: the reference solves ONE planning problem per 0.5 s replan budget
+(`uarmtd_planner.m:56-62`) => 2 plans/s.  vs_baseline = plans_per_s / 2.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from armour_tpu.config import PlannerConfig
+    from armour_tpu.planner.armour import ArmourPlanner
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+
+    spec = kinova_gen3_spec()
+    cfg = PlannerConfig()  # production sizes: T=128, capacity 40 obstacles
+    dtype = jnp.float32
+    planner = ArmourPlanner(spec, cfg, dtype)
+
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    n_obs = 8
+    rng = np.random.default_rng(0)
+
+    q0 = np.tile([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0], (B, 1))
+    q0 += rng.uniform(-0.3, 0.3, (B, 7))
+    qd0 = rng.uniform(-0.2, 0.2, (B, 7))
+    qdd0 = rng.uniform(-0.3, 0.3, (B, 7))
+    q_des = q0 + rng.uniform(-1.0, 1.0, (B, 7)) * cfg.k_range
+
+    zonos = np.zeros((B, cfg.max_obstacles, 4, 3))
+    for b in range(B):
+        centers = rng.uniform(-0.8, 0.8, (n_obs, 3))
+        centers[:, 2] = np.abs(centers[:, 2]) + 0.2
+        sides = rng.uniform(0.05, 0.3, (n_obs, 3))
+        zonos[b, :n_obs, 0] = centers
+        for i in range(3):
+            zonos[b, :n_obs, 1 + i, i] = sides[:, i] * 0.5
+    masks = np.zeros((B, cfg.max_obstacles), bool)
+    masks[:, :n_obs] = True
+
+    args = (
+        jnp.asarray(q0, dtype),
+        jnp.asarray(qd0, dtype),
+        jnp.asarray(qdd0, dtype),
+        jnp.asarray(q_des, dtype),
+        jnp.asarray(zonos, dtype),
+        jnp.asarray(masks),
+        jax.random.split(jax.random.PRNGKey(0), B),
+    )
+
+    # compile + warmup
+    res = jax.block_until_ready(planner.plan_batch(*args))
+    n_feasible = int(np.sum(np.array(res.feasible)))
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = jax.block_until_ready(planner.plan_batch(*args))
+    dt = (time.perf_counter() - t0) / reps
+
+    n_chips = jax.device_count()
+    plans_per_s = B / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "safe_plans_per_s_per_chip",
+                "value": round(plans_per_s, 3),
+                "unit": "plans/s/chip",
+                "vs_baseline": round(plans_per_s / 2.0, 3),
+                "batch": B,
+                "feasible_fraction": round(n_feasible / B, 3),
+                "seconds_per_batch": round(dt, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Tests for controller tracking, collision oracle, scenarios, and the
+episode harness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.config import PlannerConfig, SimConfig
+from armour_tpu.sim.agent import TrajParams, TrueParams, rollout
+from armour_tpu.sim.harness import EpisodeRunner
+from armour_tpu.sim.scenarios import (
+    generate_random_world,
+    hard_scenario,
+    load_world_csv,
+    save_world_csv,
+    stack_worlds,
+)
+from armour_tpu.sim.world import arm_collision_check, goal_check, obb_aabb_overlap
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+SPEC = kinova_gen3_spec()
+
+SIM = SimConfig(t_move=0.5, plant_dt=1e-3, check_dt=0.01)
+
+rollout_j = jax.jit(
+    lambda q, qd, traj, tp: rollout(SPEC, SIM, q, qd, traj, tp, 1.0)
+)
+
+
+def test_controller_tracks_within_ultimate_bound(rng):
+    """Closed-loop tracking error stays within the provable ultimate bound
+    even with ±3% wrong inertial params (uarmtd_robust_CBF_LLC.m:192-228)."""
+    q0 = jnp.asarray(rng.uniform(-1.0, 1.0, 7))
+    qd0 = jnp.zeros(7)
+    k_actual = jnp.asarray(rng.uniform(-1, 1, 7)) * PlannerConfig().k_range
+    traj = TrajParams(q0=q0, qd0=qd0, qdd0=jnp.zeros(7), k_actual=k_actual,
+                      t_offset=jnp.zeros(()))
+    tp = TrueParams(
+        mass_scale=jnp.asarray(rng.uniform(0.97, 1.03, 7)),
+        inertia_scale=jnp.asarray(rng.uniform(0.97, 1.03, 7)),
+    )
+    q_end, qd_end, log = rollout_j(q0, qd0, traj, tp)
+    pos_err = np.max(np.abs(np.array(log.q - log.q_ref)))
+    vel_err = np.max(np.abs(np.array(log.qd - log.qd_ref)))
+    assert pos_err <= SPEC.qe, f"pos err {pos_err} > bound {SPEC.qe}"
+    assert vel_err <= 2 * SPEC.ultimate_bound, f"vel err {vel_err}"
+    # and the tracking is actually good, not just bounded
+    assert pos_err < 0.5 * SPEC.qe
+
+
+def test_obb_aabb_against_sampling(rng):
+    """SAT overlap test vs dense point sampling of the OBB."""
+    for _ in range(20):
+        c = rng.uniform(-1, 1, 3)
+        half = rng.uniform(0.05, 0.3, 3)
+        # random rotation via QR
+        Q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        ac = rng.uniform(-1, 1, 3)
+        ah = rng.uniform(0.05, 0.3, 3)
+        res = bool(
+            obb_aabb_overlap(
+                jnp.asarray(c), jnp.asarray(Q), jnp.asarray(half),
+                jnp.asarray(ac), jnp.asarray(ah),
+            )
+        )
+        # dense sample of OBB volume
+        u = rng.uniform(-1, 1, (800, 3)) * half
+        pts = (Q @ u.T).T + c
+        inside = np.all(np.abs(pts - ac) <= ah, axis=1).any()
+        if inside:
+            assert res, "SAT says disjoint but sampled point inside"
+        # (res True with no sampled hit is possible for touching corners)
+
+
+def test_arm_collision_check_detects_penetration():
+    q = jnp.zeros((1, 7))
+    from armour_tpu.dynamics.rnea import forward_kinematics
+
+    Rw, pw = forward_kinematics(SPEC, q[0])
+    ee = np.array(pw)[-1]
+    hit_obs = ObstacleSet.from_boxes(ee[None, :], np.array([[0.2, 0.2, 0.2]]), 4)
+    far_obs = ObstacleSet.from_boxes(np.array([[3.0, 3.0, 3.0]]), np.array([[0.2, 0.2, 0.2]]), 4)
+    assert bool(arm_collision_check(SPEC, q, hit_obs)[0])
+    assert not bool(arm_collision_check(SPEC, q, far_obs)[0])
+
+
+def test_world_csv_roundtrip(tmp_path):
+    start = np.linspace(-1, 1, 7)
+    goal = np.linspace(1, -1, 7)
+    centers = np.array([[0.1, 0.2, 0.3], [-0.4, 0.5, 0.6]])
+    sides = np.array([[0.2, 0.2, 0.2], [0.1, 0.3, 0.2]])
+    p = tmp_path / "w.csv"
+    save_world_csv(p, start, goal, centers, sides)
+    w = load_world_csv(p, capacity=8)
+    np.testing.assert_allclose(np.array(w.start), start, atol=1e-5)
+    np.testing.assert_allclose(np.array(w.goal), goal, atol=1e-5)
+    zon = np.array(w.obstacles.zonos)
+    np.testing.assert_allclose(zon[:2, 0], centers, atol=1e-5)
+    np.testing.assert_allclose(
+        np.abs(zon[:2, 1:]).sum(axis=1) * 2, sides, atol=1e-5
+    )
+    assert int(np.sum(np.array(w.obstacles.mask))) == 2
+
+
+def test_reference_csv_loads_if_available():
+    import os
+
+    path = "/root/reference/kinova_src/saved_worlds/random/scene_013_001.csv"
+    if not os.path.exists(path):
+        pytest.skip("reference worlds not mounted")
+    w = load_world_csv(path, capacity=40)
+    assert w.start.shape == (7,)
+    assert int(np.sum(np.array(w.obstacles.mask))) >= 1
+
+
+def test_hard_scenarios_build():
+    for i in range(1, 8):
+        w = hard_scenario(i)
+        assert w.start.shape == (7,)
+        n = int(np.sum(np.array(w.obstacles.mask)))
+        assert n >= 1
+        # start configuration must be collision-free in every scene
+        hit = bool(arm_collision_check(SPEC, w.start[None], w.obstacles)[0])
+        assert not hit, f"scenario {i} start in collision"
+
+
+def test_random_world_start_goal_free(rng):
+    w = generate_random_world(SPEC, np.random.default_rng(3), 10, 40)
+    qs = jnp.stack([w.start, w.goal])
+    assert not bool(jnp.any(arm_collision_check(SPEC, qs, w.obstacles)))
+    assert int(np.sum(np.array(w.obstacles.mask))) == 10
+
+
+def test_episode_reaches_goal_open_world():
+    """Mini end-to-end episode: open world, goal a few k-ranges away."""
+    pcfg = PlannerConfig(num_time_steps=8, max_obstacles=4,
+                         nlp_num_starts=2, nlp_outer_iters=6, nlp_inner_iters=6)
+    scfg = SimConfig(t_move=0.5, plant_dt=2e-3, check_dt=0.01,
+                     max_iterations=6, goal_radius=np.pi / 30)
+    runner = EpisodeRunner(SPEC, pcfg, scfg)
+    start = jnp.asarray([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    goal = start + 2.5 * pcfg.k_range  # reachable in ~3 plans
+    obstacles = ObstacleSet.from_boxes(
+        np.array([[5.0, 5.0, 5.0]]), np.array([[0.1, 0.1, 0.1]]), pcfg.max_obstacles
+    )
+    from armour_tpu.sim.world import World
+
+    s = runner.run(World(start=start, goal=goal, obstacles=obstacles))
+    assert bool(s.goal_reached), f"summary: {s}"
+    assert not bool(s.collision)
+    assert not bool(s.torque_violation)
+    assert not bool(s.ultimate_bound_violation)
+    assert bool(s.success)
