@@ -1,0 +1,140 @@
+"""ctypes bindings for the native mesh-level collision oracle
+(`native/mesh_oracle.cpp`), the exact-geometry replacement of the
+reference's SurfaceIntersection post-hoc collision check.
+
+Falls back gracefully (``available() == False``) when the shared library
+has not been built; the conservative OBB/AABB oracle in sim/world.py is
+always available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).resolve().parents[2] / "native" / "lib" / "libmesh_oracle.so"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        build = _LIB_PATH.parents[1] / "build.sh"
+        try:
+            subprocess.run(["bash", str(build)], check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        _lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    _lib.mesh_oracle_set_meshes.argtypes = [
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.float64, flags="C"),
+    ]
+    _lib.mesh_oracle_check.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float64, flags="C"),
+        np.ctypeslib.ndpointer(np.float64, flags="C"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.float64, flags="C"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C"),
+    ]
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class MeshOracle:
+    """Holds per-link triangle meshes and checks posed configurations.
+
+    ``meshes``: list of (n_tri, 3, 3) float64 arrays in link frames.  Links
+    without a mesh can pass their bounding box via ``box_mesh``.
+    """
+
+    def __init__(self, meshes):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native mesh oracle not built (run native/build.sh)")
+        self._lib = lib
+        self.n_links = len(meshes)
+        counts = np.array([m.shape[0] for m in meshes], np.int64)
+        tris = np.ascontiguousarray(
+            np.concatenate([m.reshape(-1, 3) for m in meshes]), np.float64
+        )
+        lib.mesh_oracle_set_meshes(self.n_links, counts, tris)
+
+    def check(self, R, pos, obstacles_aabb) -> np.ndarray:
+        """R: (n_cfg, L, 3, 3), pos: (n_cfg, L, 3),
+        obstacles_aabb: (n_obs, 6) = center + half extents.
+        Returns (n_cfg,) bool."""
+        R = np.ascontiguousarray(R, np.float64)
+        pos = np.ascontiguousarray(pos, np.float64)
+        obs = np.ascontiguousarray(obstacles_aabb, np.float64)
+        n_cfg = R.shape[0]
+        out = np.zeros(n_cfg, np.uint8)
+        self._lib.mesh_oracle_check(
+            n_cfg, self.n_links, R, pos, obs.shape[0], obs, out
+        )
+        return out.astype(bool)
+
+
+def box_mesh(center, half) -> np.ndarray:
+    """12-triangle mesh of a box (for links without STL meshes)."""
+    c = np.asarray(center, float)
+    h = np.asarray(half, float)
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], float
+    ) * h + c
+    faces = [
+        (0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),
+        (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),
+        (0, 2, 6), (0, 6, 4), (1, 5, 7), (1, 7, 3),
+    ]
+    return np.stack([corners[list(f)] for f in faces])
+
+
+def load_stl_triangles(path) -> np.ndarray | None:
+    """(n_tri, 3, 3) triangles from a binary/ASCII STL."""
+    import struct
+
+    raw = Path(path).read_bytes()
+    if len(raw) < 84:
+        return None
+    (n_tri,) = struct.unpack_from("<I", raw, 80)
+    if 84 + n_tri * 50 == len(raw):
+        tris = np.ndarray(
+            (n_tri, 9), dtype="<f4", buffer=raw, offset=84 + 12, strides=(50, 4)
+        ).reshape(n_tri, 3, 3)
+        return np.asarray(tris, np.float64)
+    verts = []
+    for line in raw.decode(errors="ignore").splitlines():
+        t = line.split()
+        if len(t) == 4 and t[0] == "vertex":
+            verts.append([float(t[1]), float(t[2]), float(t[3])])
+    if not verts or len(verts) % 3:
+        return None
+    return np.asarray(verts, np.float64).reshape(-1, 3, 3)
+
+
+def oracle_for_spec(spec, mesh_paths=None) -> "MeshOracle":
+    """Build an oracle for a RobotSpec: STL meshes when provided, else the
+    link bounding boxes (then it is the exact-SAT version of the OBB check)."""
+    meshes = []
+    for i in range(spec.n_joints):
+        tri = None
+        if mesh_paths is not None and mesh_paths[i]:
+            tri = load_stl_triangles(mesh_paths[i])
+        if tri is None:
+            tri = box_mesh(spec.link_zono_center[i], spec.link_zono_gen[i])
+        meshes.append(tri)
+    return MeshOracle(meshes)

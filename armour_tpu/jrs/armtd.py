@@ -1,0 +1,181 @@
+"""ARMTD 'orig' trajectory parameterization (comparison planner, C7).
+
+Rebuild of the reference's ARMTD comparison pipeline
+(`kinova_planner_realtime_armtd_comparison/`): constant-acceleration
+trajectories q = q0 + qd0 t + 1/2 k_a t^2 over [0, t_plan], followed by a
+constant-deceleration brake to rest at t_total
+(`..._comparison/Trajectory.h:6-60`).  Per-joint parameter range
+g_k = clamp(|qd0|/3, pi/24, pi/3) (`create_jrs_online.m:77`).
+
+The reference loads offline-precomputed JRS zonotopes from .mat files
+(`offline_jrs/load_offline_jrs.m`) because the original ARMTD computed them
+offline; here the cos/sin PZs are constructed online with the same
+interval-Taylor machinery as the Bezier JRS — strictly tighter (no nearest
+-velocity-key snapping) and with no file dependency.
+
+ARMTD mode has no torque constraints and no tracking-error sets
+(`..._comparison/NLPclass.cu:42-54`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from armour_tpu.config import PlannerConfig
+from armour_tpu.jrs.bezier import cos_sin_pz_terms
+from armour_tpu.ops.pz import PZ, pz_transpose, rot_from_cos_sin
+from armour_tpu.robots.spec import RobotSpec
+
+PI = math.pi
+
+
+def armtd_k_range(qd0, lo: float = PI / 24, hi: float = PI / 3):
+    """g_k = clamp(|qd0| / 3, pi/24, pi/3) (create_jrs_online.m:77)."""
+    return jnp.clip(jnp.abs(qd0) / 3.0, lo, hi)
+
+
+def armtd_ref(q0, qd0, k_actual, t, t_plan: float, t_total: float):
+    """(q, qd, qdd) of the peak-and-brake trajectory; t clamps to rest."""
+    tb = t_total - t_plan
+    qd_pk = qd0 + k_actual * t_plan
+    a_br = -qd_pk / tb
+    t = jnp.clip(t, 0.0, t_total)
+    tau = jnp.maximum(t - t_plan, 0.0)
+    t1 = jnp.minimum(t, t_plan)
+    q = q0 + qd0 * t1 + 0.5 * k_actual * t1**2 + qd_pk * tau + 0.5 * a_br * tau**2
+    qd = jnp.where(t <= t_plan, qd0 + k_actual * t, qd_pk + a_br * tau)
+    qdd = jnp.where(t <= t_plan, k_actual, a_br)
+    return q, qd, qdd
+
+
+@dataclasses.dataclass(frozen=True)
+class ArmtdJRS:
+    """Same consumer interface as BezierJRS for the FK path."""
+
+    q0: jnp.ndarray
+    qd0: jnp.ndarray
+    k_range: jnp.ndarray   # (nf,) g_k per joint (data-dependent!)
+    t_plan: float
+    t_total: float
+
+    cos_q: list
+    sin_q: list
+    R: list
+    R_t: list
+
+    def tree_flatten(self):
+        return (self.q0, self.qd0, self.k_range, self.cos_q, self.sin_q,
+                self.R, self.R_t), (self.t_plan, self.t_total)
+
+    @classmethod
+    def tree_unflatten(cls, aux, dyn):
+        return cls(dyn[0], dyn[1], dyn[2], aux[0], aux[1], *dyn[3:])
+
+
+jax.tree_util.register_pytree_node(
+    ArmtdJRS, ArmtdJRS.tree_flatten, ArmtdJRS.tree_unflatten
+)
+
+
+def _phase_terms(q0, qd0, g_k, t, t_plan, tb):
+    """A(t), B(t) with q(t, k) = A + k * B (exact in both phases)."""
+    tau = jnp.maximum(t - t_plan, 0.0)
+    t1 = jnp.minimum(t, t_plan)
+    ramp = tau - tau**2 / (2.0 * tb)
+    A = q0 + qd0 * t1 + qd0 * ramp
+    B = g_k * (0.5 * t1**2 + t_plan * ramp)
+    return A, B
+
+
+def make_armtd_jrs(
+    spec: RobotSpec,
+    cfg: PlannerConfig,
+    q0: jnp.ndarray,
+    qd0: jnp.ndarray,
+    dtype=jnp.float64,
+) -> ArmtdJRS:
+    nf = spec.n_factors
+    T = cfg.num_time_steps
+    t_plan = cfg.t_plan
+    t_total = cfg.duration
+    tb = t_total - t_plan
+    q0 = jnp.asarray(q0, dtype)
+    qd0 = jnp.asarray(qd0, dtype)
+    g_k = armtd_k_range(qd0).astype(dtype)
+
+    ts = jnp.linspace(0.0, t_total, T + 1).astype(dtype)
+    t_lo = ts[:-1][:, None]  # (T, 1)
+    t_hi = ts[1:][:, None]
+
+    # A monotone in t within each phase (sign of qd0); B non-decreasing.
+    # NUM_TIME_STEPS even => no subinterval straddles t_plan.
+    A_lo, B_lo = _phase_terms(q0, qd0, g_k, t_lo, t_plan, tb)
+    A_hi, B_hi = _phase_terms(q0, qd0, g_k, t_hi, t_plan, tb)
+    A_min = jnp.minimum(A_lo, A_hi)
+    A_max = jnp.maximum(A_lo, A_hi)
+    # interior extremum of A in phase 1 at t* = -qd0 / k ... A itself is
+    # q0 + qd0 t (k-independent part), monotone; no interior extremum.
+    q_center = 0.5 * (A_min + A_max)
+    q_rad = 0.5 * (A_max - A_min)
+    kc = 0.5 * (B_lo + B_hi)
+    q_rad = q_rad + 0.5 * jnp.abs(B_hi - B_lo)  # k-coeff variation over interval
+
+    (cos_c, cos_k, cos_r, sin_c, sin_k, sin_r) = cos_sin_pz_terms(q_center, kc, q_rad)
+
+    fixed = spec.fixed_rotations()
+    cos_q, sin_q, R_list, Rt_list = [], [], [], []
+    for i in range(nf):
+        key = ((i, 1),)
+        cos_q.append(PZ.from_gens(cos_c[:, i], [key], [cos_k[:, i]], r=cos_r[:, i], nval=0))
+        sin_q.append(PZ.from_gens(sin_c[:, i], [key], [sin_k[:, i]], r=sin_r[:, i], nval=0))
+        R_i = rot_from_cos_sin(cos_q[i], sin_q[i], int(spec.axes[i]), fixed[i])
+        R_list.append(R_i)
+        Rt_list.append(pz_transpose(R_i))
+    for i in range(nf, spec.n_joints):
+        Rf = PZ.const(jnp.broadcast_to(jnp.asarray(fixed[i], dtype), (T, 3, 3)), nval=2)
+        R_list.append(Rf)
+        Rt_list.append(pz_transpose(Rf))
+    R_list.append(PZ.const(jnp.broadcast_to(jnp.eye(3, dtype=dtype), (T, 3, 3)), nval=2))
+
+    return ArmtdJRS(
+        q0=q0, qd0=qd0, k_range=g_k, t_plan=t_plan, t_total=t_total,
+        cos_q=cos_q, sin_q=sin_q, R=R_list, R_t=Rt_list,
+    )
+
+
+def armtd_position_extrema(jrs: ArmtdJRS, k: jnp.ndarray):
+    """(min, max) of q over [0, t_total], differentiable in k.
+
+    Candidates: t = 0; the interior stationary point t* = -qd0 / k_a of
+    phase 1; the terminal rest position (phase 2 is monotone).
+    """
+    ka = jrs.k_range * k
+    q0, qd0 = jrs.q0, jrs.qd0
+    tp, tt = jrs.t_plan, jrs.t_total
+    tb = tt - tp
+    qd_pk = qd0 + ka * tp
+
+    v0 = q0
+    v_end = q0 + qd0 * tp + 0.5 * ka * tp**2 + 0.5 * qd_pk * tb
+
+    ka_safe = jnp.where(jnp.abs(ka) > 1e-12, ka, 1e-12)
+    t_star = -qd0 / ka_safe
+    ok = (jnp.abs(ka) > 1e-12) & (t_star > 0.0) & (t_star < tp)
+    v_star = q0 + qd0 * jnp.clip(t_star, 0.0, tp) + 0.5 * ka * jnp.clip(t_star, 0.0, tp) ** 2
+    big = jnp.asarray(1e30, v0.dtype)
+    mn = jnp.minimum(jnp.minimum(v0, v_end), jnp.where(ok, v_star, big))
+    mx = jnp.maximum(jnp.maximum(v0, v_end), jnp.where(ok, v_star, -big))
+    return mn, mx
+
+
+def armtd_velocity_extrema(jrs: ArmtdJRS, k: jnp.ndarray):
+    """qd is piecewise linear: extrema at t = 0 and t = t_plan."""
+    ka = jrs.k_range * k
+    qd_pk = jrs.qd0 + ka * jrs.t_plan
+    mn = jnp.minimum(jnp.minimum(jrs.qd0, qd_pk), 0.0)
+    mx = jnp.maximum(jnp.maximum(jrs.qd0, qd_pk), 0.0)
+    return mn, mx

@@ -141,6 +141,30 @@ def _safe_sqrt(x):
     return jnp.sqrt(jnp.where(x > 0.0, x, 1.0))
 
 
+def cos_sin_pz_terms(q_center, kc, q_rad):
+    """cos/sin PZ terms from a per-interval joint-angle parameterization
+    q in q_center + kc * k + [-q_rad, q_rad], k in [-1, 1].
+
+    First-order Taylor with interval Lagrange remainder
+    (`Trajectory.cu:101-134`).  Returns
+    (cos_center, cos_kcoeff, cos_radius, sin_center, sin_kcoeff, sin_radius).
+    """
+    k_int = Interval(-jnp.abs(kc) - q_rad, jnp.abs(kc) + q_rad)
+    rad_int = Interval(-q_rad, q_rad)
+    cos_c = jnp.cos(q_center)
+    sin_c = jnp.sin(q_center)
+    cos_rem = rad_int * (-sin_c) - 0.5 * icos(k_int + q_center) * k_int.square()
+    sin_rem = rad_int * cos_c - 0.5 * isin(k_int + q_center) * k_int.square()
+    return (
+        cos_c + cos_rem.center,
+        -kc * sin_c,
+        cos_rem.radius,
+        sin_c + sin_rem.center,
+        kc * cos_c,
+        sin_rem.radius,
+    )
+
+
 def _range_with_extrema(f, endpoints_lo, endpoints_hi, extrema_s, extrema_val, s_lo, s_hi):
     """Range of f over [s_lo, s_hi] from endpoint values + interior extrema.
 
@@ -296,21 +320,8 @@ def make_bezier_jrs(
     q_rad = kd_radius + qi_radius + qe                     # (T, nf) radius around center+k-term
 
     kc = kd_center * k_rng[None, :]                        # (T, nf) k coeff (actual rad)
-    k_int = Interval(-kc - q_rad, kc + q_rad)              # total deviation from center
-    rad_int = Interval(-q_rad, q_rad)
-
-    # first-order Taylor + Lagrange remainder (Trajectory.cu:101-134)
-    cos_c = jnp.cos(q_center)
-    sin_c = jnp.sin(q_center)
-    cos_rem = rad_int * (-sin_c) - 0.5 * icos(k_int + q_center) * k_int.square()
-    sin_rem = rad_int * cos_c - 0.5 * isin(k_int + q_center) * k_int.square()
-
-    cos_center = cos_c + cos_rem.center      # (T, nf)
-    cos_kcoeff = -kc * sin_c
-    cos_radius = cos_rem.radius
-    sin_center = sin_c + sin_rem.center
-    sin_kcoeff = kc * cos_c
-    sin_radius = sin_rem.radius
+    (cos_center, cos_kcoeff, cos_radius,
+     sin_center, sin_kcoeff, sin_radius) = cos_sin_pz_terms(q_center, kc, q_rad)
 
     fixed = spec.fixed_rotations()
 

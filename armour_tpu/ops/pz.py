@@ -543,6 +543,63 @@ def rot_from_cos_sin(cos_pz: PZ, sin_pz: PZ, axis: int, fixed_rot: np.ndarray) -
     return pz_matmat(F, R_axis)
 
 
+class PackedPZ:
+    """A group of PZs re-indexed onto one shared (union) monomial basis and
+    stacked along a new trailing group axis — so slicing the whole group at
+    a concrete k is a single tensor contraction instead of one monomial
+    loop per member.  This is what the NLP hot loop consumes.
+    """
+
+    def __init__(self, c, G, r, basis):
+        self.c, self.G, self.r, self.basis = c, G, r, basis
+
+    def tree_flatten(self):
+        return (self.c, self.G, self.r), (self.basis,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, dyn):
+        return cls(*dyn, aux[0])
+
+    def monomials(self, k):
+        cols = []
+        one = jnp.ones((), k.dtype)
+        for key in self.basis:
+            m = one
+            for v, e in key:
+                m = m * k[v] ** e
+            cols.append(m)
+        return jnp.stack(cols) if cols else jnp.zeros((0,), k.dtype)
+
+    def slice(self, k):
+        """(center(k), radius), center differentiable in k."""
+        m = self.monomials(k)
+        c = self.c
+        if len(self.basis):
+            c = c + jnp.tensordot(m, self.G, axes=(0, 0))
+        return c, self.r
+
+
+jax.tree_util.register_pytree_node(
+    PackedPZ, PackedPZ.tree_flatten, PackedPZ.tree_unflatten
+)
+
+
+def pack_pzs(pzs: Sequence[PZ], axis: int = -1) -> PackedPZ:
+    """Stack k-only PZs (same value shape) onto a union basis + group axis."""
+    basis = tuple(sorted(set().union(*[set(p.basis) for p in pzs])))
+    assert all(_shape_degree(key) == 0 for key in basis), "reduce() first"
+    cs = [p.c for p in pzs]
+    shape = jnp.broadcast_shapes(*[c.shape for c in cs])
+    ax = axis if axis >= 0 else len(shape) + 1 + axis
+    c = jnp.stack([jnp.broadcast_to(p.c, shape) for p in pzs], axis=ax)
+    r = jnp.stack([jnp.broadcast_to(p.r, shape) for p in pzs], axis=ax)
+    G = jnp.stack(
+        [p._broadcast_like(jnp.zeros(shape))._with_basis(basis) for p in pzs],
+        axis=ax + 1,
+    )
+    return PackedPZ(c, G, r, basis)
+
+
 def pz_transpose(p: PZ) -> PZ:
     assert p.nval == 2
     return PZ(

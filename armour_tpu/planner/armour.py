@@ -23,6 +23,12 @@ from armour_tpu.collision.zonotope import (
 )
 from armour_tpu.config import PlannerConfig
 from armour_tpu.dynamics.pz_rnea import build_reachable_sets
+from armour_tpu.jrs.armtd import (
+    armtd_position_extrema,
+    armtd_ref,
+    armtd_velocity_extrema,
+    make_armtd_jrs,
+)
 from armour_tpu.jrs.bezier import (
     joint_position_extrema,
     joint_velocity_extrema,
@@ -58,6 +64,7 @@ class ArmourPlanner:
     spec: RobotSpec
     cfg: PlannerConfig
     dtype: object = jnp.float64
+    traj_type: str = "bernstein"  # or "orig" (ARMTD comparison mode, C7)
 
     def __post_init__(self):
         self._plan = jax.jit(self._make_plan_fn())
@@ -89,17 +96,27 @@ class ArmourPlanner:
         §5 distributed-communication design).
         """
         spec, cfg, dtype = self.spec, self.cfg, self.dtype
+        armtd = self.traj_type == "orig"
+        if armtd:
+            # ARMTD: no torque constraints, no tracking-error sets
+            cfg = dataclasses.replace(cfg, input_constraints=False)
         nf = spec.n_factors
         t_lim = jnp.asarray(spec.torque_limits, dtype)
-        pos_lb = jnp.asarray(spec.pos_limits_lb + spec.qe, dtype)
-        pos_ub = jnp.asarray(spec.pos_limits_ub - spec.qe, dtype)
-        vel_lb = jnp.asarray(-spec.speed_limits + spec.qde, dtype)
-        vel_ub = jnp.asarray(spec.speed_limits - spec.qde, dtype)
+        # ARMTD mode has no tracking-error sets, so no qe/qde tightening
+        qe = 0.0 if armtd else spec.qe
+        qde = 0.0 if armtd else spec.qde
+        pos_lb = jnp.asarray(spec.pos_limits_lb + qe, dtype)
+        pos_ub = jnp.asarray(spec.pos_limits_ub - qe, dtype)
+        vel_lb = jnp.asarray(-spec.speed_limits + qde, dtype)
+        vel_ub = jnp.asarray(spec.speed_limits - qde, dtype)
         cont = jnp.asarray(spec.continuous_joints)
         s_plan = cfg.t_plan / cfg.duration
 
         def plan(q0, qd0, qdd0, q_des, obs_zonos, obs_mask, key):
-            jrs = make_bezier_jrs(spec, cfg, q0, qd0, qdd0, dtype)
+            if armtd:
+                jrs = make_armtd_jrs(spec, cfg, q0, qd0, dtype)
+            else:
+                jrs = make_bezier_jrs(spec, cfg, q0, qd0, qdd0, dtype)
             rs = build_reachable_sets(spec, cfg, jrs, dtype)
             hp = buffer_obstacles(
                 rs.link_indep_gens,
@@ -108,27 +125,42 @@ class ArmourPlanner:
             )
             t_rad = rs.torque_radius  # (T, nf)
 
+            # pack per-joint PZ groups onto shared bases: the NLP hot loop
+            # slices each group with ONE contraction (compile- and run-time
+            # critical; replaces the reference's per-PZ OpenMP slicing,
+            # NLPclass.cu:290-321)
+            from armour_tpu.ops.pz import pack_pzs
+
+            packed_u = pack_pzs(rs.u_nom, axis=-1) if cfg.input_constraints else None
+            packed_links = pack_pzs(rs.link_pz, axis=1)  # (T, L, 3)
+
             def blocks(k):
                 """Constraint blocks, each feasible iff <= 0."""
                 out = {}
                 if cfg.input_constraints:
-                    u_c = jnp.stack([u.slice(k)[0] for u in rs.u_nom], axis=-1)
+                    u_c, _ = packed_u.slice(k)           # (T, nf)
                     out["torque"] = jnp.concatenate(
                         [
                             (u_c - (t_lim - t_rad)).ravel(),
                             ((-t_lim + t_rad) - u_c).ravel(),
                         ]
                     )
-                centers = jnp.stack([p.slice(k)[0] for p in rs.link_pz], axis=1)
+                centers, _ = packed_links.slice(k)        # (T, L, 3)
                 col = collision_constraint_values(hp, centers)
                 if collision_axis is not None:
                     col = jax.lax.all_gather(col, collision_axis)
                 out["collision"] = col.ravel()
-                mn, mx = joint_position_extrema(jrs, k)
+                if armtd:
+                    mn, mx = armtd_position_extrema(jrs, k)
+                else:
+                    mn, mx = joint_position_extrema(jrs, k)
                 out["position"] = jnp.concatenate(
                     [pos_lb - mn, mn - pos_ub, pos_lb - mx, mx - pos_ub]
                 )
-                vn, vx = joint_velocity_extrema(jrs, k)
+                if armtd:
+                    vn, vx = armtd_velocity_extrema(jrs, k)
+                else:
+                    vn, vx = joint_velocity_extrema(jrs, k)
                 out["velocity"] = jnp.concatenate(
                     [vel_lb - vn, vn - vel_ub, vel_lb - vx, vx - vel_ub]
                 )
@@ -138,7 +170,11 @@ class ArmourPlanner:
                 return jnp.concatenate(list(blocks(k).values()))
 
             def f_fn(k):
-                q_plan = q_des_fn(q0, jrs.Tqd0, jrs.TTqdd0, jrs.k_range * k, s_plan)
+                if armtd:
+                    q_plan, _, _ = armtd_ref(q0, qd0, jrs.k_range * k,
+                                             cfg.t_plan, cfg.t_plan, cfg.duration)
+                else:
+                    q_plan = q_des_fn(q0, jrs.Tqd0, jrs.TTqdd0, jrs.k_range * k, s_plan)
                 d = q_plan - q_des
                 d = jnp.where(cont, wrap_to_pi(d), d)
                 return cfg.cost_scale * jnp.sum(d * d)

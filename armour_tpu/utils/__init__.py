@@ -1,0 +1,4 @@
+from armour_tpu.utils.timers import PhaseTimer
+from armour_tpu.utils.summary import summarize_episodes, format_summary
+
+__all__ = ["PhaseTimer", "summarize_episodes", "format_summary"]

@@ -1,0 +1,41 @@
+"""Benchmark summary aggregation (cf. `kinova_test_summary.m:34-66`)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def summarize_episodes(summary) -> dict:
+    """Aggregate a batched EpisodeSummary into the paper's safety table."""
+    g = np.asarray(summary.goal_reached)
+    c = np.asarray(summary.collision)
+    t = np.asarray(summary.torque_violation)
+    j = np.asarray(summary.joint_limit_violation)
+    u = np.asarray(summary.ultimate_bound_violation)
+    s = np.asarray(summary.stopped)
+    n = g.shape[0] if g.ndim else 1
+    success = g & ~c & ~t & ~j & ~u
+    return {
+        "n_worlds": int(n),
+        "goal_reached": int(np.sum(g)),
+        "success": int(np.sum(success)),
+        "collision": int(np.sum(c)),
+        "torque_violation": int(np.sum(t)),
+        "joint_limit_violation": int(np.sum(j)),
+        "ultimate_bound_violation": int(np.sum(u)),
+        "stopped_safely": int(np.sum(s & ~c)),
+        "mean_iterations": float(np.mean(np.asarray(summary.iterations))),
+        "mean_feasible_plans": float(np.mean(np.asarray(summary.n_feasible_plans))),
+    }
+
+
+def format_summary(d: dict) -> str:
+    lines = [f"worlds: {d['n_worlds']}"]
+    for key in (
+        "goal_reached", "success", "collision", "torque_violation",
+        "joint_limit_violation", "ultimate_bound_violation", "stopped_safely",
+    ):
+        lines.append(f"{key:>26}: {d[key]:4d} / {d['n_worlds']}")
+    lines.append(f"{'mean_iterations':>26}: {d['mean_iterations']:.1f}")
+    lines.append(f"{'mean_feasible_plans':>26}: {d['mean_feasible_plans']:.1f}")
+    return "\n".join(lines)

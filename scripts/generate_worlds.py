@@ -1,0 +1,32 @@
+#!/usr/bin/env python
+"""Generate the random-world benchmark suite into assets/worlds
+(rebuild of `kinova_create_random_worlds.m` + `saved_worlds/random/`)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "assets", "worlds"))
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+    from armour_tpu.sim.scenarios import generate_world_suite
+
+    spec = kinova_gen3_spec()
+    paths = generate_world_suite(spec, args.out, n_worlds=args.n, seed=args.seed)
+    print(f"wrote {len(paths)} worlds to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Random-world benchmark battery (rebuild of `kinova_run_100_worlds.m`).
+
+Runs batched receding-horizon episodes over a saved world suite (our
+generated suite under assets/worlds by default, or any directory of
+reference-format CSVs) and prints the safety/success table.
+
+Unlike the reference's one-world-at-a-time MATLAB loop, every episode in a
+batch runs as one vmapped XLA program on the accelerator.
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds-dir", default=os.path.join(os.path.dirname(__file__), "..", "assets", "worlds"))
+    ap.add_argument("--max-worlds", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=0, help="worlds per device batch (0 = all)")
+    ap.add_argument("--time-steps", type=int, default=128)
+    ap.add_argument("--max-iterations", type=int, default=50)
+    ap.add_argument("--traj-type", default="bernstein", choices=["bernstein", "orig"])
+    ap.add_argument("--f64", action="store_true", help="run in float64 (CPU)")
+    ap.add_argument("--out", default="", help="write JSON summary here")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+
+    from armour_tpu.config import PlannerConfig, SimConfig
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+    from armour_tpu.sim.harness import EpisodeRunner
+    from armour_tpu.sim.scenarios import load_world_csv, stack_worlds
+    from armour_tpu.utils.summary import format_summary, summarize_episodes
+
+    spec = kinova_gen3_spec()
+    pcfg = PlannerConfig(num_time_steps=args.time_steps)
+    scfg = SimConfig(max_iterations=args.max_iterations)
+
+    files = sorted(glob.glob(os.path.join(args.worlds_dir, "*.csv")))[: args.max_worlds]
+    if not files:
+        raise SystemExit(f"no world CSVs in {args.worlds_dir} — run scripts/generate_worlds.py")
+    worlds = [load_world_csv(f, pcfg.max_obstacles, dtype) for f in files]
+    print(f"loaded {len(worlds)} worlds from {args.worlds_dir}")
+
+    runner = EpisodeRunner(spec, pcfg, scfg, dtype)
+    starts, goals, zonos, masks = stack_worlds(worlds, dtype)
+    keys = jax.random.split(jax.random.PRNGKey(0), len(worlds))
+
+    B = args.batch or len(worlds)
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(0, len(worlds), B):
+        sl = slice(i, min(i + B, len(worlds)))
+        s = jax.block_until_ready(
+            runner.run_batch(starts[sl], goals[sl], zonos[sl], masks[sl], keys[sl])
+        )
+        outs.append(s)
+        print(f"  batch {i // B}: {int(np.sum(np.asarray(s.goal_reached)))} goals reached")
+    wall = time.perf_counter() - t0
+
+    merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
+    d = summarize_episodes(merged)
+    d["wall_seconds"] = round(wall, 2)
+    d["episodes_per_minute"] = round(len(worlds) / wall * 60, 2)
+    print(format_summary(d))
+    print(f"wall: {wall:.1f}s ({d['episodes_per_minute']} episodes/min)")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(d, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

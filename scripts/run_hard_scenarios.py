@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Hard-scenario battery (rebuild of `kinova_run_hard_scenarios.m`): the 7
+curated scenes — table, doorway, posts, shelves, inside-box,
+sink-to-cupboard, window."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenarios", type=int, nargs="*", default=list(range(1, 8)))
+    ap.add_argument("--time-steps", type=int, default=128)
+    ap.add_argument("--max-iterations", type=int, default=100)
+    ap.add_argument("--f64", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+
+    from armour_tpu.config import PlannerConfig, SimConfig
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+    from armour_tpu.sim.harness import EpisodeRunner
+    from armour_tpu.sim.scenarios import hard_scenario, stack_worlds
+
+    spec = kinova_gen3_spec()
+    pcfg = PlannerConfig(num_time_steps=args.time_steps)
+    # hard scenes use a tighter goal radius (get_kinova_scenario_info.m: 0.05)
+    scfg = SimConfig(max_iterations=args.max_iterations, goal_radius=0.05)
+    runner = EpisodeRunner(spec, pcfg, scfg, dtype)
+
+    worlds = [hard_scenario(i, pcfg.max_obstacles, dtype) for i in args.scenarios]
+    starts, goals, zonos, masks = stack_worlds(worlds, dtype)
+    keys = jax.random.split(jax.random.PRNGKey(0), len(worlds))
+    s = jax.block_until_ready(runner.run_batch(starts, goals, zonos, masks, keys))
+
+    names = {1: "table", 2: "doorway", 3: "posts", 4: "shelves",
+             5: "inside box", 6: "sink->cupboard", 7: "window"}
+    for j, idx in enumerate(args.scenarios):
+        flags = []
+        if bool(np.asarray(s.goal_reached)[j]):
+            flags.append("GOAL")
+        if bool(np.asarray(s.collision)[j]):
+            flags.append("COLLISION")
+        if bool(np.asarray(s.stopped)[j]):
+            flags.append("stopped")
+        print(
+            f"scenario {idx} ({names[idx]:>14}): "
+            f"{' '.join(flags) or 'incomplete'}  "
+            f"iters={int(np.asarray(s.iterations)[j])} "
+            f"plans={int(np.asarray(s.n_feasible_plans)[j])}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Tests for the ARMTD comparison planner ('orig' trajectory mode, C7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.config import PlannerConfig
+from armour_tpu.jrs.armtd import (
+    armtd_k_range,
+    armtd_position_extrema,
+    armtd_ref,
+    armtd_velocity_extrema,
+    make_armtd_jrs,
+)
+from armour_tpu.planner.armour import ArmourPlanner
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+SPEC = kinova_gen3_spec()
+CFG = PlannerConfig(num_time_steps=16, max_obstacles=4,
+                    nlp_num_starts=4, nlp_outer_iters=8, nlp_inner_iters=8)
+
+
+def test_armtd_ref_brakes_to_rest(rng):
+    q0 = rng.uniform(-1, 1, 7)
+    qd0 = rng.uniform(-1.0, 1.0, 7)
+    ka = np.array(armtd_k_range(jnp.asarray(qd0))) * rng.uniform(-1, 1, 7)
+    q_p, qd_p, qdd_p = armtd_ref(q0, qd0, ka, 0.0, 0.5, 1.0)
+    np.testing.assert_allclose(np.array(q_p), q0, atol=1e-12)
+    np.testing.assert_allclose(np.array(qd_p), qd0, atol=1e-12)
+    np.testing.assert_allclose(np.array(qdd_p), ka, atol=1e-12)
+    q_e, qd_e, _ = armtd_ref(q0, qd0, ka, 1.0, 0.5, 1.0)
+    np.testing.assert_allclose(np.array(qd_e), 0.0, atol=1e-12)
+    # peak velocity at t_plan
+    _, qd_pk, _ = armtd_ref(q0, qd0, ka, 0.5, 0.5, 1.0)
+    np.testing.assert_allclose(np.array(qd_pk), qd0 + ka * 0.5, atol=1e-12)
+
+
+@jax.jit
+def _probe(q0, qd0, k):
+    jrs = make_armtd_jrs(SPEC, CFG, q0, qd0)
+    cs, rs_ = zip(*[p.slice(k) for p in jrs.cos_q])
+    ss, sr = zip(*[p.slice(k) for p in jrs.sin_q])
+    mn, mx = armtd_position_extrema(jrs, k)
+    vn, vx = armtd_velocity_extrema(jrs, k)
+    return {
+        "cos_c": jnp.stack(cs, -1), "cos_r": jnp.stack(rs_, -1),
+        "sin_c": jnp.stack(ss, -1), "sin_r": jnp.stack(sr, -1),
+        "pos_mn": mn, "pos_mx": mx, "vel_mn": vn, "vel_mx": vx,
+        "g_k": jrs.k_range,
+    }
+
+
+def test_armtd_jrs_containment(rng):
+    T = CFG.num_time_steps
+    for _ in range(4):
+        q0 = rng.uniform(-1, 1, 7)
+        qd0 = rng.uniform(-1.0, 1.0, 7)
+        k = rng.uniform(-1, 1, 7)
+        out = {kk: np.array(v) for kk, v in _probe(q0, qd0, jnp.asarray(k)).items()}
+        ka = out["g_k"] * k
+        t_idx = int(rng.integers(0, T))
+        t = rng.uniform(t_idx / T, (t_idx + 1) / T)
+        q, qd, _ = armtd_ref(q0, qd0, ka, t, CFG.t_plan, CFG.duration)
+        q = np.array(q)
+        assert np.all(np.abs(np.cos(q) - out["cos_c"][t_idx]) <= out["cos_r"][t_idx] + 1e-10)
+        assert np.all(np.abs(np.sin(q) - out["sin_c"][t_idx]) <= out["sin_r"][t_idx] + 1e-10)
+        # global extrema bound dense samples
+        ts = np.linspace(0, 1, 300)
+        qs = np.stack([np.array(armtd_ref(q0, qd0, ka, tt, 0.5, 1.0)[0]) for tt in ts])
+        qds = np.stack([np.array(armtd_ref(q0, qd0, ka, tt, 0.5, 1.0)[1]) for tt in ts])
+        assert np.all(qs.min(0) >= out["pos_mn"] - 1e-9)
+        assert np.all(qs.max(0) <= out["pos_mx"] + 1e-9)
+        assert np.all(qds.min(0) >= out["vel_mn"] - 1e-9)
+        assert np.all(qds.max(0) <= out["vel_mx"] + 1e-9)
+
+
+def test_armtd_planner_feasible_and_safe(rng):
+    planner = ArmourPlanner(SPEC, CFG, traj_type="orig")
+    q0 = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    qd0 = 0.3 * np.ones(7)
+    world = ObstacleSet.from_boxes(
+        np.array([[5.0, 5.0, 5.0]]), np.array([[0.1, 0.1, 0.1]]), CFG.max_obstacles
+    )
+    g_k = np.array(armtd_k_range(jnp.asarray(qd0)))
+    q_des = np.array(armtd_ref(q0, qd0, 0.7 * g_k, 0.5, 0.5, 1.0)[0])
+    res = planner.plan(q0, qd0, np.zeros(7), q_des, world)
+    assert bool(res.feasible), f"viol={res.max_violation}"
+    k = np.array(res.k)
+    q_plan = np.array(armtd_ref(q0, qd0, g_k * k, 0.5, 0.5, 1.0)[0])
+    assert np.max(np.abs(q_plan - q_des)) < 0.05
+    # velocity limit respected over whole trajectory incl. peak
+    qd_pk = qd0 + g_k * k * 0.5
+    assert np.all(np.abs(qd_pk) <= SPEC.speed_limits + 1e-6)
+
+
+def test_armtd_blocked_infeasible():
+    planner = ArmourPlanner(SPEC, CFG, traj_type="orig")
+    q0 = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    world = ObstacleSet.from_boxes(
+        np.array([[0.0, 0.0, 0.6]]), np.array([[3.0, 3.0, 1.5]]), CFG.max_obstacles
+    )
+    res = planner.plan(q0, np.zeros(7), np.zeros(7), q0 + 0.05, world)
+    assert not bool(res.feasible)

@@ -1,0 +1,52 @@
+"""Native mesh-oracle tests: agreement with the jitted OBB/AABB oracle."""
+
+import numpy as np
+import pytest
+
+from armour_tpu.collision.mesh_oracle import available
+
+if not available():
+    pytest.skip("native mesh oracle not built", allow_module_level=True)
+
+import jax.numpy as jnp
+
+from armour_tpu.collision.mesh_oracle import MeshOracle, box_mesh, oracle_for_spec
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.dynamics.rnea import forward_kinematics
+from armour_tpu.robots.kinova import kinova_gen3_spec
+from armour_tpu.sim.world import arm_collision_check
+
+SPEC = kinova_gen3_spec()
+
+
+def test_box_mesh_oracle_matches_obb_oracle(rng):
+    """With box meshes, the native SAT oracle must agree exactly with the
+    jax OBB/AABB oracle on random configurations."""
+    oracle = oracle_for_spec(SPEC)
+    n = 40
+    qs = rng.uniform(-2, 2, (n, 7))
+    centers = rng.uniform(-0.7, 0.7, (3, 3))
+    centers[:, 2] = np.abs(centers[:, 2]) + 0.2
+    sides = rng.uniform(0.1, 0.4, (3, 3))
+    obs = ObstacleSet.from_boxes(centers, sides, 8)
+
+    jax_hits = np.array(arm_collision_check(SPEC, jnp.asarray(qs), obs))
+
+    Rw, pw = forward_kinematics(SPEC, jnp.asarray(qs))
+    aabb = np.concatenate([centers, sides * 0.5], axis=1)
+    native_hits = oracle.check(np.array(Rw), np.array(pw), aabb)
+    np.testing.assert_array_equal(native_hits, jax_hits)
+
+
+def test_mesh_oracle_tighter_than_obb():
+    """A thin-diagonal mesh inside the box must NOT hit an obstacle that the
+    bounding box does hit (mesh-level check is finer)."""
+    tri = np.array([[[-0.4, -0.4, 0.0], [0.4, 0.4, 0.0], [0.4, 0.4, 0.01]]])
+    o = MeshOracle([tri])
+    R = np.eye(3)[None, None]
+    p = np.zeros((1, 1, 3))
+    # obstacle at the box corner the triangle does not reach
+    obs = np.array([[-0.35, 0.35, 0.0, 0.05, 0.05, 0.05]])
+    assert not o.check(R, p, obs)[0]
+    obs2 = np.array([[0.0, 0.0, 0.0, 0.05, 0.05, 0.05]])
+    assert o.check(R, p, obs2)[0]
