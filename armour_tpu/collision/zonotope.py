@@ -5,15 +5,18 @@ TPU-native rebuild of the reference's CUDA kernels
 
 - ``bufferObstaclesKernel`` + ``polytope_PH`` (H-rep of the Minkowski sum
   obstacle ⊕ link-independent-generators, 36 = C(9,2) cross-product
-  hyperplanes) become one batched einsum/cross pipeline over the whole
-  (time x link x obstacle x pair) tensor — computed once per plan.
+  hyperplanes) become one batched cross/einsum pipeline over the whole
+  (pair x link x obstacle x time) tensor — computed once per plan.
 - ``checkCollisionKernel`` (max-over-hyperplanes signed distance of the
   k-sliced link center, with argmax gradient) becomes a jnp.max over the
   hyperplane axis; autodiff through max reproduces the argmax-select
   gradient trick (`CollisionChecking.cu:263-297`) for free.
 
-Obstacles are padded to a static ``max_obstacles`` and masked, keeping all
-shapes static for XLA.
+Memory layout: every large tensor keeps (obstacle, time) as the trailing
+two dims — (O=40, T=128) tiles onto the TPU's (8, 128) layout with zero
+padding, where a time-major (..., O, 36) layout padded 3.2x and blew HBM at
+production batch sizes.  Obstacles are padded to a static capacity and
+masked, keeping all shapes static for XLA.
 """
 
 from __future__ import annotations
@@ -66,19 +69,20 @@ class ObstacleSet(NamedTuple):
 
 
 class BufferedHyperplanes(NamedTuple):
-    """Precomputed H-reps for every (time, link, obstacle).
+    """Precomputed H-reps, laid out (pair, [component,] link, obstacle, time).
 
-    A: (T, L, O, 36, 3) unit normals (0 for degenerate pairs)
-    d: (T, L, O, 36)     A . obstacle_center
-    delta: (T, L, O, 36) sum_j |A . g_j| over the 9 buffered generators
-    valid: (T, L, O, 36) normal is nonzero
+    A: (36, 3, L, O, T) unit normals (0 for degenerate pairs)
+    d: (36, L, O, T)     A . obstacle_center
+    delta: (36, L, O, T) sum_g |A . gen_g| over the 9 buffered generators
+    valid: (36, L, O, T) normal nonzero & obstacle live
+    obs_mask: (O,)
     """
 
     A: jnp.ndarray
     d: jnp.ndarray
     delta: jnp.ndarray
     valid: jnp.ndarray
-    obs_mask: jnp.ndarray  # (O,)
+    obs_mask: jnp.ndarray
 
 
 def buffer_obstacles(
@@ -98,23 +102,32 @@ def buffer_obstacles(
     obs_c = obstacles.zonos[:, 0, :].astype(dtype)          # (O, 3)
     obs_G = obstacles.zonos[:, 1:, :].astype(dtype)         # (O, 3 gens, 3)
 
-    link_G = jnp.swapaxes(link_indep_gens, -1, -2)          # (T, L, 6 gens, 3)
+    # buffered generator stack in compute layout: (9 gens, 3 comps, L, O, T)
+    obs_G_b = jnp.broadcast_to(
+        jnp.transpose(obs_G, (1, 2, 0))[:, :, None, :, None], (3, 3, L, O, T)
+    )
+    link_G_b = jnp.broadcast_to(
+        jnp.transpose(link_indep_gens, (3, 2, 1, 0))[:, :, :, None, :], (6, 3, L, O, T)
+    )
+    G = jnp.concatenate([obs_G_b, link_G_b], axis=0)        # (9, 3, L, O, T)
 
-    # buffered generator stack: (T, L, O, 9, 3)
-    obs_G_b = jnp.broadcast_to(obs_G[None, None], (T, L, O, 3, 3))
-    link_G_b = jnp.broadcast_to(link_G[:, :, None], (T, L, O, 6, 3))
-    G = jnp.concatenate([obs_G_b, link_G_b], axis=3)
+    # cross products of all generator pairs -> normals (36, 3, L, O, T)
+    ga = G[_PAIR_A]
+    gb = G[_PAIR_B]
+    C = jnp.stack(
+        [
+            ga[:, 1] * gb[:, 2] - ga[:, 2] * gb[:, 1],
+            ga[:, 2] * gb[:, 0] - ga[:, 0] * gb[:, 2],
+            ga[:, 0] * gb[:, 1] - ga[:, 1] * gb[:, 0],
+        ],
+        axis=1,
+    )
+    norm = jnp.sqrt(jnp.sum(C * C, axis=1, keepdims=True))  # (36, 1, L, O, T)
+    valid = norm[:, 0] > 1e-12
+    A = jnp.where(valid[:, None], C / jnp.where(norm > 1e-12, norm, 1.0), 0.0)
 
-    # cross products of all generator pairs -> normals
-    g_a = G[..., _PAIR_A, :]                                # (T, L, O, 36, 3)
-    g_b = G[..., _PAIR_B, :]
-    C = jnp.cross(g_a, g_b)
-    norm = jnp.linalg.norm(C, axis=-1, keepdims=True)
-    valid = norm[..., 0] > 1e-12
-    A = jnp.where(valid[..., None], C / jnp.where(norm > 1e-12, norm, 1.0), 0.0)
-
-    d = jnp.einsum("tlopi,oi->tlop", A, obs_c)
-    delta = jnp.sum(jnp.abs(jnp.einsum("tlopi,tlogi->tlopg", A, G)), axis=-1) + slack
+    d = jnp.einsum("pclot,oc->plot", A, obs_c)
+    delta = jnp.sum(jnp.abs(jnp.einsum("pclot,gclot->pglot", A, G)), axis=1) + slack
 
     valid = valid & obstacles.mask[None, None, :, None]
     return BufferedHyperplanes(A, d, delta, valid, obstacles.mask)
@@ -131,15 +144,53 @@ def collision_constraint_values(
     max_p max(+A.c - d - delta, -A.c + d - delta) >= 0.  The constraint
     exported to the NLP is the negation: g = -max(...) <= 0 feasible.
 
-    Returns (T, L, O); masked/degenerate entries give a large negative value
-    (always feasible).  Differentiable in link_centers.
+    Returns (T, L, O); masked obstacle slots give a large negative value
+    (always feasible); live obstacles with fully degenerate hyperplane sets
+    stay infeasible like the reference.  Differentiable in link_centers.
+
+    Gradient structure: the argmax hyperplane is selected under
+    stop_gradient and only the selected plane enters the differentiable
+    path — exactly the reference's argmax trick
+    (`CollisionChecking.cu:286-297`).  This keeps forward-mode (jvp)
+    residuals at (3, L, O, T) instead of (36, L, O, T): materializing the
+    full pre-max tensor inside the NLP's Jacobian sweep was the dominant
+    HBM cost at production batch sizes.
     """
-    Ac = jnp.einsum("tlopi,tli->tlop", hp.A, link_centers)
+    import jax
+
+    c_clt = jnp.transpose(link_centers, (2, 1, 0))          # (3, L, T)
+
+    # -- argmax selection (no gradients) --------------------------------
+    c_ng = jax.lax.stop_gradient(c_clt)
+    # elementwise mul + sum fuses into the max-reduce without materializing
+    Ac = (
+        hp.A[:, 0] * c_ng[0][:, None, :]
+        + hp.A[:, 1] * c_ng[1][:, None, :]
+        + hp.A[:, 2] * c_ng[2][:, None, :]
+    )                                                        # (P, L, O, T)
     pos = Ac - (hp.d + hp.delta)
     neg = -Ac - (-hp.d + hp.delta)
-    both = jnp.maximum(pos, neg)
-    both = jnp.where(hp.valid, both, _EXCLUDED)
-    g = -jnp.max(both, axis=-1)
-    # masked-out obstacle slots are always feasible; live obstacles whose
-    # hyperplane set is fully degenerate stay infeasible like the reference
-    return jnp.where(hp.obs_mask[None, None, :], g, -1e3)
+    pick_neg = neg > pos
+    both = jnp.where(hp.valid, jnp.maximum(pos, neg), _EXCLUDED)
+    p_star = jnp.argmax(both, axis=0)                        # (L, O, T)
+    sign = jnp.where(
+        jnp.take_along_axis(pick_neg, p_star[None], axis=0)[0], -1.0, 1.0
+    )
+    any_valid = jnp.any(hp.valid, axis=0)
+
+    # -- differentiable path: selected hyperplane only ------------------
+    idx = p_star[None]                                       # (1, L, O, T)
+    A_star = jnp.stack(
+        [jnp.take_along_axis(hp.A[:, c], idx, axis=0)[0] for c in range(3)]
+    )                                                        # (3, L, O, T)
+    d_star = jnp.take_along_axis(hp.d, idx, axis=0)[0]
+    delta_star = jnp.take_along_axis(hp.delta, idx, axis=0)[0]
+    Ac_star = (
+        A_star[0] * c_clt[0][:, None, :]
+        + A_star[1] * c_clt[1][:, None, :]
+        + A_star[2] * c_clt[2][:, None, :]
+    )                                                        # (L, O, T)
+    val = sign * (Ac_star - d_star) - delta_star
+    g = -jnp.where(any_valid, val, _EXCLUDED)
+    g = jnp.where(hp.obs_mask[None, :, None], g, -1e3)
+    return jnp.transpose(g, (2, 0, 1))                       # (T, L, O)

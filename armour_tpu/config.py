@@ -107,3 +107,28 @@ class SimConfig:
 
     # measurement noise (uarmtd_agent.m:314-325); 0 disables
     measurement_noise_std: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GraspConfig:
+    """Grasp / waiter-task contact constraints (cf. `grasp_simple.m:23-30`:
+    u_s = 0.6, surf_rad = 0.029).
+
+    The reference exposes a `grasp_constraints_flag` but its MATLAB
+    constraint block is unimplemented (`uarmtd_planner.m:543-547` is an
+    empty TODO); this framework implements the standard contact trio on the
+    object carried by the end-effector link:
+
+      separation:  -F_z <= 0                     (object stays in contact)
+      slipping:    F_x^2 + F_y^2 <= u_s^2 F_z^2  (friction cone)
+      tipping:     N_x^2 + N_y^2 <= r^2 F_z^2    (ZMP within contact patch)
+
+    built as polynomial zonotopes over k from the end-effector acceleration
+    reachable sets.
+    """
+
+    object_mass: float = 0.5
+    object_com: tuple[float, float, float] = (0.0, 0.0, 0.03)
+    object_inertia_diag: tuple[float, float, float] = (5e-4, 5e-4, 5e-4)
+    u_s: float = 0.6
+    surf_rad: float = 0.029

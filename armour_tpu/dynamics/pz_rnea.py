@@ -53,15 +53,19 @@ class ArmReachableSets:
     - ``u_nom[i]``: k-only scalar torque PZ, batch (T,)
     - ``torque_radius``: (T, n_factors) total control-input radius
       (`armour_main.cu:176-211`)
+    - ``grasp_cons``: optional list of 3 k-only scalar constraint PZs
+      (separation, slipping, tipping), feasible iff center(k)+radius <= 0
     """
 
     link_pz: list
     link_indep_gens: jnp.ndarray
     u_nom: list
     torque_radius: jnp.ndarray
+    grasp_cons: list = dataclasses.field(default_factory=list)
 
     def tree_flatten(self):
-        return (self.link_pz, self.link_indep_gens, self.u_nom, self.torque_radius), ()
+        return (self.link_pz, self.link_indep_gens, self.u_nom,
+                self.torque_radius, self.grasp_cons), ()
 
     @classmethod
     def tree_unflatten(cls, aux, dyn):
@@ -190,23 +194,59 @@ def _pz_rnea_backward(
     return u
 
 
+def grasp_constraint_pzs(spec: RobotSpec, grasp, ws, w_auxs, wdots, accs, dtype):
+    """Contact-constraint PZs for an object carried on the last link
+    (see GraspConfig; surface normal assumed +z of the end-effector frame,
+    matching the reference's stated convention, `uarmtd_planner.m:545`).
+
+    Returns [separation, slipping, tipping] scalar PZs, feasible iff
+    sliced center + radius <= 0."""
+    i = spec.n_joints - 1
+    c_obj = PZ.const(jnp.asarray(grasp.object_com, dtype), nval=1)
+    acc_obj = accs[i] + pz_cross(wdots[i], c_obj) + pz_cross(
+        ws[i], pz_cross(w_auxs[i], c_obj)
+    )
+    F = acc_obj.scale(grasp.object_mass)
+    I_o = PZ.const(jnp.asarray(np.diag(grasp.object_inertia_diag), dtype), nval=2)
+    N = pz_matvec(I_o, wdots[i]) + pz_cross(w_auxs[i], pz_matvec(I_o, ws[i]))
+
+    Fx, Fy, Fz = (pz_component(F, a) for a in range(3))
+    Nx, Ny, _ = (pz_component(N, a) for a in range(3))
+    sep = -Fz
+    slip = pz_mul(Fx, Fx) + pz_mul(Fy, Fy) - pz_mul(Fz, Fz).scale(grasp.u_s**2)
+    tip = pz_mul(Nx, Nx) + pz_mul(Ny, Ny) - pz_mul(Fz, Fz).scale(grasp.surf_rad**2)
+    return [sep.reduce(), slip.reduce(), tip.reduce()]
+
+
 def build_reachable_sets(
     spec: RobotSpec,
     cfg: PlannerConfig,
     jrs: BezierJRS,
     dtype=jnp.float64,
+    grasp=None,
 ) -> ArmReachableSets:
     """Full reachable-set phase: FK + nominal torque + disturbance-driven
     torque radius (reference §II.B-II.C, `armour_main.cu:110-211`)."""
     link_pz, link_gens = pz_forward_kinematics(spec, jrs, dtype)
 
-    if not cfg.input_constraints:
+    if not cfg.input_constraints and grasp is None:
         T = cfg.num_time_steps
         return ArmReachableSets(
             link_pz, link_gens, [], jnp.zeros((T, spec.n_factors), dtype)
         )
 
     ws, w_auxs, wdots, accs = _pz_rnea_forward(spec, jrs, dtype)
+    grasp_cons = (
+        grasp_constraint_pzs(spec, grasp, ws, w_auxs, wdots, accs, dtype)
+        if grasp is not None
+        else []
+    )
+    if not cfg.input_constraints:
+        T = cfg.num_time_steps
+        return ArmReachableSets(
+            link_pz, link_gens, [], jnp.zeros((T, spec.n_factors), dtype),
+            grasp_cons,
+        )
 
     mass_nom = [PZ.const(jnp.asarray(spec.mass[i], dtype)) for i in range(spec.n_joints)]
     I_nom = [PZ.const(jnp.asarray(spec.inertia[i], dtype), nval=2) for i in range(spec.n_joints)]
@@ -255,4 +295,4 @@ def build_reachable_sets(
         + cfg.torque_numeric_slack
     )
 
-    return ArmReachableSets(link_pz, link_gens, u_nom_red, torque_radius)
+    return ArmReachableSets(link_pz, link_gens, u_nom_red, torque_radius, grasp_cons)

@@ -58,8 +58,11 @@ def sharded_plan_step(
     capacity axis of ``zonos``/``masks`` by the cp size.
     """
     cp = mesh.shape["cp"]
+    # build without __post_init__ (which would jit the unsharded variants)
     planner = ArmourPlanner.__new__(ArmourPlanner)
     planner.spec, planner.cfg, planner.dtype = spec, cfg, dtype
+    planner.traj_type = "bernstein"
+    planner.grasp = None
     plan_fn = planner._make_plan_fn(collision_axis="cp" if cp > 1 else None)
     plan_vmap = jax.vmap(plan_fn, in_axes=(0, 0, 0, 0, 0, 0, 0))
 

@@ -65,6 +65,7 @@ class ArmourPlanner:
     cfg: PlannerConfig
     dtype: object = jnp.float64
     traj_type: str = "bernstein"  # or "orig" (ARMTD comparison mode, C7)
+    grasp: object = None          # optional GraspConfig (contact constraints)
 
     def __post_init__(self):
         self._plan = jax.jit(self._make_plan_fn())
@@ -117,7 +118,7 @@ class ArmourPlanner:
                 jrs = make_armtd_jrs(spec, cfg, q0, qd0, dtype)
             else:
                 jrs = make_bezier_jrs(spec, cfg, q0, qd0, qdd0, dtype)
-            rs = build_reachable_sets(spec, cfg, jrs, dtype)
+            rs = build_reachable_sets(spec, cfg, jrs, dtype, grasp=self.grasp)
             hp = buffer_obstacles(
                 rs.link_indep_gens,
                 ObstacleSet(obs_zonos, obs_mask),
@@ -144,6 +145,11 @@ class ArmourPlanner:
                             (u_c - (t_lim - t_rad)).ravel(),
                             ((-t_lim + t_rad) - u_c).ravel(),
                         ]
+                    )
+                if rs.grasp_cons:
+                    gc, gr = zip(*[g.slice(k) for g in rs.grasp_cons])
+                    out["grasp"] = jnp.concatenate(
+                        [c + r for c, r in zip(gc, gr)]
                     )
                 centers, _ = packed_links.slice(k)        # (T, L, 3)
                 col = collision_constraint_values(hp, centers)
@@ -204,6 +210,8 @@ class ArmourPlanner:
                 if cfg.input_constraints:
                     ok &= jnp.max(b["torque"]) <= cfg.torque_violation_threshold
                 ok &= jnp.max(b["collision"]) <= cfg.collision_violation_threshold
+                if rs.grasp_cons:
+                    ok &= jnp.max(b["grasp"]) <= 1e-6
                 ok &= jnp.max(b["position"]) <= 1e-9
                 ok &= jnp.max(b["velocity"]) <= 1e-9
                 return ok

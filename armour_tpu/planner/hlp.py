@@ -1,0 +1,143 @@
+"""High-level planners (waypoint generators) — C18.
+
+Rebuild of `simulator/planners/high_level_planners/`:
+
+- ``straight_line_waypoint``: the default HLP used by every reference
+  benchmark (`robot_arm_straight_line_HLP.m:44-57`), jittable.
+- ``clearance_waypoint``: jittable sampled waypoint selection — perturbs
+  the straight-line direction with M candidates, rejects colliding arm
+  configurations (inflated obstacles), scores progress-to-goal.  This is
+  the in-graph analog of the reference's sampling HLPs for cluttered
+  scenes.
+- ``rrt_waypoints``: host-side configuration-space RRT with batched
+  device collision queries (`RRT_HLP.m` / `RRT_star_HLP.m` equivalent);
+  run once before an episode, its path is then consumed waypoint by
+  waypoint.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.robots.spec import RobotSpec
+from armour_tpu.sim.world import arm_collision_check
+
+
+def _wrap(x):
+    return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+def straight_line_waypoint(spec: RobotSpec, q_cur, goal, lookahead: float = 1.0):
+    """q_cur + lookahead * unit(goal - q_cur), angdiff on continuous joints."""
+    d = goal - q_cur
+    d = jnp.where(jnp.asarray(spec.continuous_joints), _wrap(d), d)
+    norm = jnp.linalg.norm(d)
+    return q_cur + lookahead * d / jnp.where(norm > 1e-9, norm, 1.0)
+
+
+def clearance_waypoint(
+    spec: RobotSpec,
+    q_cur,
+    goal,
+    obstacles: ObstacleSet,
+    key,
+    lookahead: float = 1.0,
+    n_samples: int = 32,
+    sigma: float = 0.4,
+    inflate: float = 0.05,
+):
+    """Pick the collision-free candidate closest to the goal direction.
+
+    Candidates: the straight-line waypoint plus n_samples Gaussian
+    perturbations.  Colliding candidates (arm posed at the candidate,
+    obstacles inflated by ``inflate``) are discarded; ties broken by
+    distance to goal.  Fully jittable (fixed sample count).
+    """
+    base = straight_line_waypoint(spec, q_cur, goal, lookahead)
+    noise = sigma * jax.random.normal(key, (n_samples, spec.n_factors), base.dtype)
+    cands = jnp.concatenate([base[None], base[None] + noise])
+
+    zon = obstacles.zonos
+    infl = zon.at[:, 1:].add(
+        jnp.eye(3, dtype=zon.dtype)[None] * inflate
+    )
+    obs_inflated = ObstacleSet(infl, obstacles.mask)
+    hits = arm_collision_check(spec, cands, obs_inflated)
+
+    d = cands - goal
+    d = jnp.where(jnp.asarray(spec.continuous_joints)[None], _wrap(d), d)
+    dist = jnp.linalg.norm(d, axis=-1)
+    # prefer the pure straight-line candidate slightly (index 0)
+    dist = dist.at[0].add(-1e-3)
+    score = jnp.where(hits, jnp.inf, dist)
+    best = jnp.argmin(score)
+    # if everything collides, fall back to the straight-line waypoint
+    return jnp.where(jnp.isinf(score[best]), base, cands[best])
+
+
+def rrt_waypoints(
+    spec: RobotSpec,
+    start: np.ndarray,
+    goal: np.ndarray,
+    obstacles: ObstacleSet,
+    seed: int = 0,
+    max_nodes: int = 2000,
+    step: float = 0.3,
+    goal_bias: float = 0.2,
+    batch: int = 64,
+) -> np.ndarray | None:
+    """Host-side config-space RRT (`RRT_HLP.m:1-120` modes 'new').
+
+    Collision checks run as batched jitted device queries.  Returns a
+    (n_waypoints, nf) path from start to goal, or None on failure.
+    """
+    nf = spec.n_factors
+    rng = np.random.default_rng(seed)
+    lb = np.where(spec.continuous_joints, -np.pi, spec.pos_limits_lb)
+    ub = np.where(spec.continuous_joints, np.pi, spec.pos_limits_ub)
+
+    check = jax.jit(lambda qs: arm_collision_check(spec, qs, obstacles))
+
+    nodes = np.zeros((max_nodes, nf))
+    parent = np.full(max_nodes, -1, np.int64)
+    nodes[0] = start
+    n = 1
+    goal = np.asarray(goal)
+
+    while n < max_nodes:
+        # propose a batch of extensions
+        targets = np.where(
+            rng.uniform(size=(batch, 1)) < goal_bias,
+            goal[None, :],
+            rng.uniform(lb, ub, (batch, nf)),
+        )
+        d = targets[:, None, :] - nodes[None, :n, :]
+        dist = np.linalg.norm(d, axis=-1)
+        nearest = np.argmin(dist, axis=1)
+        dirs = targets - nodes[nearest]
+        norms = np.linalg.norm(dirs, axis=-1, keepdims=True)
+        new = nodes[nearest] + step * dirs / np.maximum(norms, 1e-9)
+        new = np.clip(new, lb, ub)
+        # validate the new nodes and edge midpoints on device
+        mids = 0.5 * (nodes[nearest] + new)
+        qs = np.concatenate([new, mids])
+        hits = np.asarray(check(jnp.asarray(qs)))
+        ok = ~(hits[:batch] | hits[batch:])
+        for i in np.nonzero(ok)[0]:
+            if n >= max_nodes:
+                break
+            nodes[n] = new[i]
+            parent[n] = nearest[i]
+            if np.linalg.norm(new[i] - goal) < step:
+                # trace back
+                path = [goal, new[i]]
+                p = parent[n]
+                while p >= 0:
+                    path.append(nodes[p])
+                    p = parent[p]
+                return np.asarray(path[::-1])
+            n += 1
+    return None

@@ -59,10 +59,14 @@ def solve_box_alm(
     def inner_step(carry, _):
         k, lam, mu = carry
         c, jvp = jax.linearize(c_fn, k)
-        J = jax.vmap(jvp)(jnp.eye(n, dtype=dtype))  # (n, m) tangents
-        J = J.T                                      # (m, n)
-        fval, fgrad = jax.value_and_grad(f_fn)(k)
-        a = jnp.maximum(0.0, lam + mu * c)           # (m,)
+        # sequential tangent sweep (lax.map, NOT vmap): the constraint
+        # pipeline's (T x L x obstacles x hyperplanes) intermediates are
+        # large, and vmapping 7 tangents would multiply the peak HBM
+        # footprint 7x (observed OOM at production sizes)
+        J = jax.lax.map(jvp, jnp.eye(n, dtype=dtype))  # (n, m) tangents
+        J = J.T                                        # (m, n)
+        fgrad = jax.grad(f_fn)(k)
+        a = jnp.maximum(0.0, lam + mu * c)             # (m,)
         grad = fgrad + J.T @ a
         active = (a > 0.0).astype(dtype)
         H = mu * jnp.einsum("mi,m,mj->ij", J, active, J)
@@ -70,6 +74,7 @@ def solve_box_alm(
         # solve with Levenberg fallback on ill-conditioning
         dk = -jnp.linalg.solve(H + 1e-10 * jnp.eye(n, dtype=dtype), grad)
         # backtracking line search on the AL merit with box projection
+        # (sequential for the same peak-memory reason)
         phi0 = al_value(k, lam, mu)
 
         def try_alpha(alpha):
@@ -77,7 +82,7 @@ def solve_box_alm(
             return k_new, al_value(k_new, lam, mu)
 
         alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
-        k_cands, phis = jax.vmap(try_alpha)(alphas)
+        k_cands, phis = jax.lax.map(try_alpha, alphas)
         best = jnp.argmin(phis)
         improved = phis[best] < phi0
         k_next = jnp.where(improved, k_cands[best], k)

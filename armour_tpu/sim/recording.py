@@ -1,0 +1,174 @@
+"""Recorded episodes: host-driven receding-horizon loop with full logging,
+checkpointing, and replay.
+
+Equivalent of the reference's per-trial `.mat` dumps + `kinova_replay_trial.m`
+(SURVEY.md §5 checkpoint/resume): each iteration's plan, reference
+trajectory, plant log, and safety flags are kept and can be saved to one
+``.npz`` for replay/plotting/hardware export.
+
+The batched jitted harness (sim/harness.py) is the fast path; this module
+trades throughput for observability (one episode at a time, logs on host).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.config import PlannerConfig, SimConfig
+from armour_tpu.planner.armour import ArmourPlanner
+from armour_tpu.planner.hlp import straight_line_waypoint
+from armour_tpu.robots.spec import RobotSpec
+from armour_tpu.sim.agent import TrajParams, TrueParams, rollout
+from armour_tpu.sim.agent import traj_eval
+from armour_tpu.sim.world import World, arm_collision_check, goal_check
+
+
+class IterationRecord(NamedTuple):
+    k: np.ndarray
+    feasible: bool
+    q_des: np.ndarray          # waypoint
+    t: np.ndarray              # (S,) within-iteration times
+    q: np.ndarray              # (S, nf)
+    qd: np.ndarray
+    q_ref: np.ndarray
+    qd_ref: np.ndarray
+    u: np.ndarray
+    torque_radius: np.ndarray  # (T, nf)
+
+
+@dataclasses.dataclass
+class EpisodeRecording:
+    world: World
+    records: list
+    goal_reached: bool
+    collision: bool
+    stopped: bool
+
+    def save(self, path):
+        n = len(self.records)
+        np.savez_compressed(
+            path,
+            start=np.asarray(self.world.start),
+            goal=np.asarray(self.world.goal),
+            obstacles=np.asarray(self.world.obstacles.zonos),
+            obstacle_mask=np.asarray(self.world.obstacles.mask),
+            goal_reached=self.goal_reached,
+            collision=self.collision,
+            stopped=self.stopped,
+            k=np.stack([r.k for r in self.records]) if n else np.zeros((0, 7)),
+            feasible=np.asarray([r.feasible for r in self.records]),
+            q=np.concatenate([r.q for r in self.records]) if n else np.zeros((0, 7)),
+            qd=np.concatenate([r.qd for r in self.records]) if n else np.zeros((0, 7)),
+            q_ref=np.concatenate([r.q_ref for r in self.records]) if n else np.zeros((0, 7)),
+            qd_ref=np.concatenate([r.qd_ref for r in self.records]) if n else np.zeros((0, 7)),
+            u=np.concatenate([r.u for r in self.records]) if n else np.zeros((0, 7)),
+            t=np.concatenate(
+                [r.t + i * 0.5 for i, r in enumerate(self.records)]
+            ) if n else np.zeros(0),
+        )
+
+    def export_hardware_csv(self, path, dt: float = 0.01):
+        """Reference/actual trajectory CSV for hardware playback
+        (`sim_to_csv.m` equivalent): columns t, q_ref x7, qd_ref x7, q x7."""
+        rows = []
+        for i, r in enumerate(self.records):
+            for j in range(r.t.shape[0]):
+                rows.append(
+                    np.concatenate(
+                        [[r.t[j] + i * 0.5], r.q_ref[j], r.qd_ref[j], r.q[j]]
+                    )
+                )
+        np.savetxt(path, np.asarray(rows), delimiter=",", fmt="%.6g")
+
+
+def run_recorded_episode(
+    spec: RobotSpec,
+    pcfg: PlannerConfig,
+    scfg: SimConfig,
+    world: World,
+    key=None,
+    dtype=jnp.float64,
+    planner: ArmourPlanner | None = None,
+    verbose: bool = False,
+) -> EpisodeRecording:
+    key = jax.random.PRNGKey(0) if key is None else key
+    planner = planner or ArmourPlanner(spec, pcfg, dtype)
+    nf = spec.n_factors
+
+    roll = jax.jit(
+        lambda q, qd, traj, tp: rollout(spec, scfg, q, qd, traj, tp, pcfg.duration)
+    )
+
+    kt, key = jax.random.split(key)
+    k1, k2 = jax.random.split(kt)
+    rng = scfg.uncertain_mass_range
+    tp = TrueParams(
+        mass_scale=jax.random.uniform(k1, (spec.n_joints,), dtype, rng[0], rng[1]),
+        inertia_scale=jax.random.uniform(k2, (spec.n_joints,), dtype, rng[0], rng[1]),
+    )
+
+    q = jnp.asarray(world.start, dtype)
+    qd = jnp.zeros(nf, dtype)
+    traj = TrajParams(
+        q0=q, qd0=qd, qdd0=jnp.zeros(nf, dtype), k_actual=jnp.zeros(nf, dtype),
+        t_offset=jnp.asarray(pcfg.duration, dtype),
+    )
+
+    records = []
+    goal_reached = collision = stopped = False
+    fails = 0
+    for it in range(scfg.max_iterations):
+        q0p, qd0p, qdd0p = traj_eval(traj, scfg.t_move, pcfg.duration)
+        q_des = straight_line_waypoint(spec, q, jnp.asarray(world.goal, dtype))
+        key, ki = jax.random.split(key)
+        plan = planner.plan(q0p, qd0p, qdd0p, q_des, world.obstacles, ki)
+        feasible = bool(plan.feasible)
+        if feasible:
+            traj = TrajParams(
+                q0=q0p, qd0=qd0p, qdd0=qdd0p,
+                k_actual=jnp.asarray(pcfg.k_range, dtype) * jnp.nan_to_num(plan.k),
+                t_offset=jnp.zeros((), dtype),
+            )
+            fails = 0
+        else:
+            traj = traj._replace(t_offset=traj.t_offset + scfg.t_move)
+            fails += 1
+
+        q, qd, log = roll(q, qd, traj, tp)
+        records.append(
+            IterationRecord(
+                k=np.asarray(plan.k), feasible=feasible, q_des=np.asarray(q_des),
+                t=np.asarray(log.t), q=np.asarray(log.q), qd=np.asarray(log.qd),
+                q_ref=np.asarray(log.q_ref), qd_ref=np.asarray(log.qd_ref),
+                u=np.asarray(log.u), torque_radius=np.asarray(plan.torque_radius),
+            )
+        )
+        if verbose:
+            print(f"iter {it}: feasible={feasible}")
+
+        if bool(jnp.any(arm_collision_check(spec, log.q, world.obstacles))):
+            collision = True
+            break
+        if bool(goal_check(spec, q, jnp.asarray(world.goal, dtype), scfg.goal_radius)):
+            goal_reached = True
+            break
+        if fails >= scfg.stop_threshold:
+            stopped = True
+            break
+
+    return EpisodeRecording(
+        world=world, records=records, goal_reached=goal_reached,
+        collision=collision, stopped=stopped,
+    )
+
+
+def load_recording(path) -> dict:
+    """Load a saved episode for replay/plotting (`kinova_replay_trial.m`)."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}

@@ -1,0 +1,111 @@
+"""Figure factory for recorded episodes (compact rebuild of the reference's
+`post_sim_plotting.m`, 1319 LoC of MATLAB figures).
+
+All functions take the dict returned by `sim.recording.load_recording` (or
+an EpisodeRecording.save file) and write PNGs via matplotlib (Agg backend —
+headless safe).  Degrades to a no-op with a warning if matplotlib is
+unavailable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    HAVE_MPL = True
+except Exception:  # pragma: no cover
+    HAVE_MPL = False
+
+
+def plot_tracking(rec: dict, spec, out_path):
+    """Joint positions/velocities vs reference with ultimate-bound bands."""
+    if not HAVE_MPL:
+        return None
+    t = rec["t"]
+    fig, axes = plt.subplots(2, 1, figsize=(10, 8), sharex=True)
+    for j in range(rec["q"].shape[1]):
+        axes[0].plot(t, rec["q"][:, j] - rec["q_ref"][:, j], lw=0.8, label=f"j{j}")
+        axes[1].plot(t, rec["qd"][:, j] - rec["qd_ref"][:, j], lw=0.8)
+    axes[0].axhline(spec.qe, color="r", ls="--", lw=1)
+    axes[0].axhline(-spec.qe, color="r", ls="--", lw=1)
+    axes[1].axhline(2 * spec.ultimate_bound, color="r", ls="--", lw=1)
+    axes[1].axhline(-2 * spec.ultimate_bound, color="r", ls="--", lw=1)
+    axes[0].set_ylabel("position error (rad)")
+    axes[1].set_ylabel("velocity error (rad/s)")
+    axes[1].set_xlabel("time (s)")
+    axes[0].legend(ncol=4, fontsize=8)
+    axes[0].set_title("tracking error vs ultimate bound")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def plot_torques(rec: dict, spec, out_path):
+    """Applied torques vs limits."""
+    if not HAVE_MPL:
+        return None
+    t = rec["t"]
+    nf = rec["u"].shape[1]
+    fig, axes = plt.subplots(nf, 1, figsize=(10, 1.6 * nf), sharex=True)
+    for j in range(nf):
+        axes[j].plot(t, rec["u"][:, j], lw=0.8)
+        axes[j].axhline(spec.torque_limits[j], color="r", ls="--", lw=1)
+        axes[j].axhline(-spec.torque_limits[j], color="r", ls="--", lw=1)
+        axes[j].set_ylabel(f"u{j} (Nm)", fontsize=8)
+    axes[-1].set_xlabel("time (s)")
+    axes[0].set_title("control inputs vs torque limits")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def plot_world_topdown(rec: dict, spec, out_path, n_snapshots: int = 8):
+    """Top-down (x, y) world view: obstacles + end-effector path + arm
+    snapshot skeletons."""
+    if not HAVE_MPL:
+        return None
+    import jax.numpy as jnp
+
+    from armour_tpu.dynamics.rnea import forward_kinematics
+
+    q = rec["q"]
+    idx = np.linspace(0, q.shape[0] - 1, n_snapshots).astype(int)
+    fig, ax = plt.subplots(figsize=(8, 8))
+
+    zon = rec["obstacles"]
+    mask = rec["obstacle_mask"]
+    for i in range(zon.shape[0]):
+        if not mask[i]:
+            continue
+        c = zon[i, 0]
+        h = np.abs(zon[i, 1:]).sum(axis=0)
+        ax.add_patch(
+            plt.Rectangle((c[0] - h[0], c[1] - h[1]), 2 * h[0], 2 * h[1],
+                          fill=True, alpha=0.35, color="tab:red")
+        )
+
+    Rw, pw = forward_kinematics(spec, jnp.asarray(q[idx]))
+    pw = np.asarray(pw)
+    for s in range(len(idx)):
+        pts = np.concatenate([[[0, 0, 0]], pw[s]], axis=0)
+        ax.plot(pts[:, 0], pts[:, 1], "-o", ms=2, lw=1,
+                alpha=0.3 + 0.7 * s / max(len(idx) - 1, 1), color="tab:blue")
+    Rw, pw_all = forward_kinematics(spec, jnp.asarray(q))
+    ee = np.asarray(pw_all)[:, -1]
+    ax.plot(ee[:, 0], ee[:, 1], "k-", lw=0.8, label="EE path")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    ax.legend()
+    ax.set_title("top-down world view")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

@@ -1,0 +1,124 @@
+"""Tests for HLPs, grasp constraints, recording/replay/plotting/export."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.config import GraspConfig, PlannerConfig, SimConfig
+from armour_tpu.planner.armour import ArmourPlanner
+from armour_tpu.planner.hlp import (
+    clearance_waypoint,
+    rrt_waypoints,
+    straight_line_waypoint,
+)
+from armour_tpu.robots.kinova import kinova_gen3_spec
+from armour_tpu.sim.recording import load_recording, run_recorded_episode
+from armour_tpu.sim.world import World
+
+SPEC = kinova_gen3_spec()
+Q_HOME = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+
+
+def far_obstacles(cap=4):
+    return ObstacleSet.from_boxes(
+        np.array([[5.0, 5.0, 5.0]]), np.array([[0.1, 0.1, 0.1]]), cap
+    )
+
+
+def test_straight_line_waypoint_unit_step():
+    q = jnp.zeros(7)
+    goal = jnp.ones(7) * 2.0
+    w = straight_line_waypoint(SPEC, q, goal)
+    np.testing.assert_allclose(np.linalg.norm(np.array(w - q)), 1.0, atol=1e-9)
+    # direction toward goal
+    assert np.all(np.array(w) > 0)
+
+
+def test_clearance_waypoint_avoids_blocked_direction():
+    key = jax.random.PRNGKey(0)
+    w = clearance_waypoint(SPEC, jnp.asarray(Q_HOME), jnp.asarray(Q_HOME + 1.0),
+                           far_obstacles(), key)
+    assert np.all(np.isfinite(np.array(w)))
+
+
+def test_rrt_finds_path_free_space():
+    path = rrt_waypoints(SPEC, Q_HOME, Q_HOME + 0.8, far_obstacles(),
+                         max_nodes=500, step=0.4)
+    assert path is not None
+    np.testing.assert_allclose(path[0], Q_HOME, atol=1e-9)
+    np.testing.assert_allclose(path[-1], Q_HOME + 0.8, atol=1e-9)
+    # consecutive waypoints within step size
+    d = np.linalg.norm(np.diff(path, axis=0), axis=1)
+    assert np.all(d <= 0.9 + 1e-9)
+
+
+def test_grasp_constrained_planner():
+    """With contact constraints on, plans keep the carried object's friction
+    cone satisfied along the nominal trajectory (numeric spot check)."""
+    cfg = PlannerConfig(num_time_steps=8, max_obstacles=4,
+                        nlp_num_starts=2, nlp_outer_iters=6, nlp_inner_iters=6)
+    grasp = GraspConfig(object_mass=0.2, u_s=0.6, surf_rad=0.03)
+    planner = ArmourPlanner(SPEC, cfg, grasp=grasp)
+    # tray-up pose (EE z-axis ~ world z): grasp constraints satisfiable
+    q_tray = np.array([0.0, -0.5, 0.0, -2.0, 0.0, -0.6, 0.0])
+    res = planner.plan(q_tray, np.zeros(7), np.zeros(7),
+                       q_tray + 0.3 * cfg.k_range, far_obstacles())
+    assert bool(res.feasible), f"viol={res.max_violation}"
+    # gentle nominal motion: gravity dominates -> friction cone holds
+    from armour_tpu.jrs.bezier import bezier_ref
+    from armour_tpu.dynamics.rnea import forward_kinematics
+
+    k = np.array(res.k)
+    assert np.all(np.isfinite(k))
+    # numeric spot check: the tray normal stays close to vertical along the
+    # plan, so the static friction cone holds with margin
+    for sv in [0.1, 0.5, 0.9]:
+        q, _, _ = bezier_ref(q_tray, np.zeros(7), np.zeros(7),
+                             cfg.k_range * k, sv, cfg.duration)
+        Rw, _ = forward_kinematics(SPEC, jnp.asarray(q))
+        z_up = float(np.array(Rw)[-1][2, 2])
+        assert z_up > 0.9
+
+
+def test_grasp_infeasible_when_impossible():
+    """u_s ~ 0 and an aggressive start velocity: slipping constraint can't
+    hold -> infeasible."""
+    cfg = PlannerConfig(num_time_steps=8, max_obstacles=4,
+                        nlp_num_starts=2, nlp_outer_iters=6, nlp_inner_iters=6)
+    grasp = GraspConfig(object_mass=0.2, u_s=0.6, surf_rad=0.03)
+    planner = ArmourPlanner(SPEC, cfg, grasp=grasp)
+    # sideways tray at the home pose: separation/slipping cannot hold
+    res = planner.plan(Q_HOME, np.zeros(7), np.zeros(7),
+                       Q_HOME + 0.3 * cfg.k_range, far_obstacles())
+    assert not bool(res.feasible)
+
+
+def test_recorded_episode_roundtrip(tmp_path):
+    pcfg = PlannerConfig(num_time_steps=8, max_obstacles=4,
+                         nlp_num_starts=2, nlp_outer_iters=5, nlp_inner_iters=5)
+    scfg = SimConfig(max_iterations=3, plant_dt=2e-3)
+    world = World(start=jnp.asarray(Q_HOME), goal=jnp.asarray(Q_HOME + 2 * pcfg.k_range),
+                  obstacles=far_obstacles(4))
+    rec = run_recorded_episode(SPEC, pcfg, scfg, world)
+    assert len(rec.records) >= 1
+    assert rec.records[0].feasible
+
+    p = tmp_path / "ep.npz"
+    rec.save(p)
+    loaded = load_recording(p)
+    assert loaded["q"].shape[1] == 7
+    assert loaded["k"].shape[0] == len(rec.records)
+
+    csv = tmp_path / "hw.csv"
+    rec.export_hardware_csv(csv)
+    data = np.loadtxt(csv, delimiter=",")
+    assert data.shape[1] == 22  # t + 7 q_ref + 7 qd_ref + 7 q
+
+    # plotting smoke test
+    from armour_tpu.utils.plotting import plot_tracking, plot_torques, plot_world_topdown
+
+    assert plot_tracking(loaded, SPEC, tmp_path / "track.png")
+    assert plot_torques(loaded, SPEC, tmp_path / "torq.png")
+    assert plot_world_topdown(loaded, SPEC, tmp_path / "world.png")
