@@ -1,0 +1,90 @@
+"""Kinematics/dynamics utility kit — C15's modern-robotics helpers
+(`simulator/dynamics/utility/`: FKinSpace, JacobianSpace, MassMatrix,
+InverseDynamicsTrajectory, ForwardDynamicsTrajectory, ...), jitted.
+
+Everything composes the core RNEA/FK primitives in dynamics/rnea.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from armour_tpu.dynamics.rnea import (
+    bias_forces,
+    forward_kinematics,
+    mass_matrix,
+    rnea,
+)
+from armour_tpu.robots.spec import RobotSpec
+
+
+def ee_pose(spec: RobotSpec, q):
+    """End-effector (R, p) in the world frame (FKinSpace equivalent)."""
+    Rw, pw = forward_kinematics(spec, q)
+    R_ee = Rw[..., -1, :, :]
+    p_ee = pw[..., -1, :] + jnp.einsum(
+        "...ij,j->...i", R_ee, jnp.asarray(spec.trans[spec.n_joints], q.dtype)
+    )
+    return R_ee, p_ee
+
+
+def ee_jacobian(spec: RobotSpec, q):
+    """Geometric Jacobian of the end-effector position+orientation:
+    (..., 6, n_factors), rows = [v; w] (JacobianSpace equivalent), via
+    autodiff of FK + the rotation-axis stack."""
+
+    def pos(qq):
+        return ee_pose(spec, qq)[1]
+
+    Jv = jax.jacfwd(pos)(q)  # (3, nf)
+    # angular part: world axes of each joint
+    Rw, _ = forward_kinematics(spec, q)
+    cols = []
+    for i in range(spec.n_factors):
+        a = abs(int(spec.axes[i])) - 1
+        sgn = 1.0 if spec.axes[i] > 0 else -1.0
+        cols.append(sgn * Rw[..., i, :, a])
+    Jw = jnp.stack(cols, axis=-1)
+    return jnp.concatenate([Jv, Jw], axis=-2)
+
+
+def inverse_dynamics_trajectory(spec: RobotSpec, qs, qds, qdds, use_gravity=True):
+    """Torques along a trajectory (InverseDynamicsTrajectory): (N, nf)."""
+    return rnea(spec, qs, qds, qds, qdds, use_gravity=use_gravity)
+
+
+def forward_dynamics(spec: RobotSpec, q, qd, u):
+    """qdd = M^-1 (u - C qd - g) with transmission inertia included."""
+    M = mass_matrix(spec, q, include_armature=True)
+    b = bias_forces(spec, q, qd)
+    return jnp.linalg.solve(M, u - b)
+
+
+def forward_dynamics_trajectory(spec: RobotSpec, q0, qd0, us, dt: float):
+    """Semi-implicit Euler rollout under a torque sequence
+    (ForwardDynamicsTrajectory): returns (qs, qds) of shape (N+1, nf)."""
+
+    def step(carry, u):
+        q, qd = carry
+        qdd = forward_dynamics(spec, q, qd, u)
+        qd_n = qd + dt * qdd
+        q_n = q + dt * qd_n
+        return (q_n, qd_n), (q_n, qd_n)
+
+    (_, _), (qs, qds) = jax.lax.scan(step, (q0, qd0), us)
+    return (
+        jnp.concatenate([q0[None], qs]),
+        jnp.concatenate([qd0[None], qds]),
+    )
+
+
+def gravity_torque(spec: RobotSpec, q):
+    """g(q) alone (GravityForces equivalent)."""
+    z = jnp.zeros_like(q)
+    return rnea(spec, q, z, z, z, use_gravity=True, use_armature=False)
+
+
+def coriolis_torque(spec: RobotSpec, q, qd):
+    """C(q, qd) qd alone (VelQuadraticForces equivalent)."""
+    return bias_forces(spec, q, qd) - gravity_torque(spec, q)

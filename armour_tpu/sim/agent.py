@@ -61,7 +61,7 @@ class RolloutLog(NamedTuple):
     u: jnp.ndarray
 
 
-def rollout(
+def rollout_direct(
     spec: RobotSpec,
     sim: SimConfig,
     q: jnp.ndarray,
@@ -70,8 +70,35 @@ def rollout(
     true_params: TrueParams,
     duration: float = 1.0,
 ):
+    """'direct' move mode (`uarmtd_agent.m:493-507`): execute the reference
+    trajectory exactly (no plant), logging nominal RNEA torques."""
+    n = int(round(sim.t_move / sim.check_dt))
+    ts = jnp.arange(n, dtype=q.dtype) * sim.check_dt
+
+    def at(t):
+        return traj_eval(traj, t, duration)
+
+    qs, qds, qdds = jax.vmap(at)(ts)
+    us = rnea(spec, qs, qds, qds, qdds, use_gravity=True, use_armature=True)
+    q_end, qd_end, _ = traj_eval(traj, sim.t_move, duration)
+    log = RolloutLog(t=ts, q=qs, qd=qds, q_ref=qs, qd_ref=qds, u=us)
+    return q_end, qd_end, log
+
+
+def rollout(
+    spec: RobotSpec,
+    sim: SimConfig,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    traj: TrajParams,
+    true_params: TrueParams,
+    duration: float = 1.0,
+    noise_key: jnp.ndarray | None = None,
+):
     """Integrate the closed loop over [0, t_move].
 
+    ``noise_key`` enables measurement noise on the state fed to the
+    controller (`uarmtd_agent.m:314-325`, sigma = SimConfig.measurement_noise_std).
     Returns (q_end, qd_end, log at check_dt resolution).
     """
     n_steps = int(round(sim.t_move / sim.plant_dt))
@@ -79,9 +106,18 @@ def rollout(
     mass_true = jnp.asarray(spec.mass) * true_params.mass_scale
     inertia_true = jnp.asarray(spec.inertia) * true_params.inertia_scale[:, None, None]
 
-    def control(t, q, qd):
+    if noise_key is not None and sim.measurement_noise_std > 0.0:
+        noise = sim.measurement_noise_std * jax.random.normal(
+            noise_key, (n_steps, 2, spec.n_factors), q.dtype
+        )
+    else:
+        noise = jnp.zeros((n_steps, 2, spec.n_factors), q.dtype)
+
+    def control(i, t, q, qd):
         q_des, qd_des, qdd_des = traj_eval(traj, t, duration)
-        u, _, _ = robust_control(spec, q, qd, q_des, qd_des, qdd_des)
+        u, _, _ = robust_control(
+            spec, q + noise[i, 0], qd + noise[i, 1], q_des, qd_des, qdd_des
+        )
         return u
 
     def plant_acc(q, qd, u):
@@ -110,7 +146,7 @@ def rollout(
     def rk4_step(carry, i):
         q, qd = carry
         t = i * dt
-        u = control(t, q, qd)  # zero-order hold within the step
+        u = control(i.astype(jnp.int32), t, q, qd)  # zero-order hold within the step
 
         def f(state):
             qq, dq = state

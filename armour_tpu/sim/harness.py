@@ -25,8 +25,8 @@ from armour_tpu.collision.zonotope import ObstacleSet
 from armour_tpu.config import PlannerConfig, SimConfig
 from armour_tpu.planner.armour import ArmourPlanner
 from armour_tpu.robots.spec import RobotSpec
-from armour_tpu.sim.agent import TrajParams, TrueParams, rollout, traj_eval
-from armour_tpu.sim.world import World, arm_collision_check, goal_check
+from armour_tpu.sim.agent import TrajParams, TrueParams, rollout, rollout_direct, traj_eval
+from armour_tpu.sim.world import World, arm_collision_check, goal_check, goal_check_ee
 
 
 def _wrap(x):
@@ -63,9 +63,13 @@ class EpisodeRunner:
     plan_cfg: PlannerConfig
     sim_cfg: SimConfig
     dtype: object = jnp.float64
+    move_mode: str = "integrator"       # or "direct" (uarmtd_agent move modes)
+    goal_type: str = "configuration"    # or "end_effector_location"
+    traj_type: str = "bernstein"        # or "orig" (ARMTD)
 
     def __post_init__(self):
-        self.planner = ArmourPlanner(self.spec, self.plan_cfg, self.dtype)
+        self.planner = ArmourPlanner(self.spec, self.plan_cfg, self.dtype,
+                                     traj_type=self.traj_type)
         self._episode = jax.jit(self._make_episode_fn())
         self._episode_batch = jax.jit(
             jax.vmap(self._make_episode_fn(), in_axes=(0, 0, 0, 0, 0))
@@ -161,8 +165,16 @@ class EpisodeRunner:
                     lambda a, b: jnp.where(plan.feasible, a, b), new_traj, cont_traj
                 )
 
-                q_n, qd_n, log = rollout(spec, scfg, c.q, c.qd, traj, true_params,
-                                         pcfg.duration)
+                if self.move_mode == "direct":
+                    q_n, qd_n, log = rollout_direct(
+                        spec, scfg, c.q, c.qd, traj, true_params, pcfg.duration
+                    )
+                else:
+                    key_i, key_noise = jax.random.split(key_i)
+                    q_n, qd_n, log = rollout(
+                        spec, scfg, c.q, c.qd, traj, true_params, pcfg.duration,
+                        noise_key=key_noise,
+                    )
 
                 # safety oracles at check_dt resolution
                 col = jnp.any(arm_collision_check(spec, log.q, obstacles))
@@ -173,7 +185,10 @@ class EpisodeRunner:
                 ubv = jnp.any(
                     jnp.abs(_wrap(log.q - log.q_ref)) > ub_pos + 1e-6
                 ) | jnp.any(jnp.abs(log.qd - log.qd_ref) > ub_vel + 1e-6)
-                reached = goal_check(spec, q_n, goal, scfg.goal_radius)
+                if self.goal_type == "end_effector_location":
+                    reached = goal_check_ee(spec, q_n, goal[:3], scfg.goal_radius)
+                else:
+                    reached = goal_check(spec, q_n, goal, scfg.goal_radius)
 
                 fails = jnp.where(plan.feasible, 0, c.consecutive_fail + 1)
                 stopped = fails >= scfg.stop_threshold

@@ -42,6 +42,17 @@ def goal_check(spec: RobotSpec, q, goal, goal_radius: float):
     return jnp.all(jnp.abs(d) <= goal_radius, axis=-1)
 
 
+def goal_check_ee(spec: RobotSpec, q, goal_xyz, goal_radius: float):
+    """Workspace goal test ('end_effector_location' goal type,
+    `kinova_world_static.m:53-110`): EE position within goal_radius."""
+    Rw, pw = forward_kinematics(spec, q)
+    ee = pw[..., -1, :] + jnp.einsum(
+        "...ij,j->...i", Rw[..., -1, :, :],
+        jnp.asarray(spec.trans[spec.n_joints], q.dtype),
+    )
+    return jnp.linalg.norm(ee - goal_xyz, axis=-1) <= goal_radius
+
+
 def obb_aabb_overlap(obb_c, obb_R, obb_half, aabb_c, aabb_half):
     """Separating-axis test between an oriented box (center, rotation,
     half-extents) and an axis-aligned box.  Batched over leading dims.

@@ -1,0 +1,55 @@
+"""Multi-robot-family coverage: URDF-loaded specs through the full planner
+(fetch / panda / kuka, C20 parity — the reference ships these URDFs in
+`urdfs/`)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.config import PlannerConfig
+from armour_tpu.planner.armour import ArmourPlanner
+from armour_tpu.robots.urdf import load_urdf
+
+URDFS = {
+    "panda": "/root/reference/urdfs/panda_arm/panda_arm.urdf",
+    "kuka": "/root/reference/urdfs/kuka_arm/kuka_iiwa_arm.urdf",
+    "fetch": "/root/reference/urdfs/fetch_arm/fetch_arm_7DOF.urdf",
+}
+
+CFG = PlannerConfig(num_time_steps=8, max_obstacles=2,
+                    nlp_num_starts=2, nlp_outer_iters=6, nlp_inner_iters=6)
+
+
+@pytest.mark.parametrize("name", list(URDFS))
+def test_urdf_robot_plans_free_space(name):
+    path = URDFS[name]
+    if not os.path.exists(path):
+        pytest.skip(f"{name} urdf not mounted")
+    # modest armature so the ultimate-bound / plant story stays well-posed
+    spec = load_urdf(path)
+    import dataclasses
+
+    spec = dataclasses.replace(
+        spec,
+        armature=np.full(spec.n_joints, 5.0),
+        torque_limits=np.maximum(spec.torque_limits, 30.0),
+    )
+    from armour_tpu.robots.urdf import calibrate_mass_eigs
+
+    spec = calibrate_mass_eigs(spec, n_samples=16)
+    planner = ArmourPlanner(spec, CFG)
+
+    nf = spec.n_factors
+    lb = np.where(spec.continuous_joints, -1.5, spec.pos_limits_lb * 0.4)
+    ub = np.where(spec.continuous_joints, 1.5, spec.pos_limits_ub * 0.4)
+    q0 = 0.5 * (lb + ub)
+    obstacles = ObstacleSet.from_boxes(
+        np.array([[9.0, 9.0, 9.0]]), np.array([[0.1, 0.1, 0.1]]), CFG.max_obstacles
+    )
+    res = planner.plan(q0, np.zeros(nf), np.zeros(nf), q0 + 0.4 * CFG.k_range,
+                       obstacles)
+    assert bool(res.feasible), f"{name}: violation {res.max_violation}"
+    assert np.all(np.isfinite(np.array(res.k)))

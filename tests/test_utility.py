@@ -1,0 +1,63 @@
+"""Tests for the kinematics/dynamics utility kit (C15)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.dynamics.utility import (
+    coriolis_torque,
+    ee_jacobian,
+    ee_pose,
+    forward_dynamics,
+    forward_dynamics_trajectory,
+    gravity_torque,
+    inverse_dynamics_trajectory,
+)
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+SPEC = kinova_gen3_spec()
+
+
+@pytest.fixture
+def q(rng):
+    return jnp.asarray(rng.uniform(-1.5, 1.5, 7))
+
+
+def test_ee_jacobian_matches_fd(q):
+    J = np.array(ee_jacobian(SPEC, q))
+    assert J.shape == (6, 7)
+    eps = 1e-6
+    for j in range(7):
+        qp = q.at[j].add(eps)
+        qm = q.at[j].add(-eps)
+        dp = (np.array(ee_pose(SPEC, qp)[1]) - np.array(ee_pose(SPEC, qm)[1])) / (2 * eps)
+        np.testing.assert_allclose(J[:3, j], dp, atol=1e-5)
+
+
+def test_inverse_forward_dynamics_roundtrip(q, rng):
+    qd = jnp.asarray(rng.uniform(-1, 1, 7))
+    qdd = jnp.asarray(rng.uniform(-2, 2, 7))
+    u = inverse_dynamics_trajectory(SPEC, q, qd, qdd)
+    qdd_back = forward_dynamics(SPEC, q, qd, u)
+    np.testing.assert_allclose(np.array(qdd_back), np.array(qdd), atol=1e-8)
+
+
+def test_gravity_plus_coriolis_is_bias(q, rng):
+    qd = jnp.asarray(rng.uniform(-1, 1, 7))
+    from armour_tpu.dynamics.rnea import bias_forces
+
+    b = bias_forces(SPEC, q, qd)
+    np.testing.assert_allclose(
+        np.array(gravity_torque(SPEC, q) + coriolis_torque(SPEC, q, qd)),
+        np.array(b),
+        atol=1e-9,
+    )
+
+
+def test_forward_dynamics_trajectory_holds_under_gravity_comp(q):
+    """Feeding g(q) as torque keeps the arm (almost) still."""
+    u0 = gravity_torque(SPEC, q)
+    us = jnp.tile(u0, (50, 1))
+    qs, qds = forward_dynamics_trajectory(SPEC, q, jnp.zeros(7), us, dt=1e-3)
+    assert float(jnp.max(jnp.abs(qs[-1] - q))) < 1e-3
