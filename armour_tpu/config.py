@@ -94,8 +94,9 @@ class SimConfig:
     # post-hoc safety check resolution (uarmtd_agent.m:19)
     check_dt: float = 0.01
 
-    # episode control (kinova_run_100_worlds.m:62-65)
-    max_iterations: int = 50
+    # episode control; the reference allows up to 500 planning iterations
+    # per episode (kinova_run_100_worlds.m:63 max_sim_iter)
+    max_iterations: int = 150
     stop_threshold: int = 4
 
     # goal tolerance per joint, radians (kinova_run_100_worlds.m:24)

@@ -64,10 +64,11 @@ def sharded_plan_step(
     planner.traj_type = "bernstein"
     planner.grasp = None
     plan_fn = planner._make_plan_fn(collision_axis="cp" if cp > 1 else None)
-    plan_vmap = jax.vmap(plan_fn, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    plan_vmap = jax.vmap(plan_fn, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
 
     def local_step(q0, qd0, qdd0, q_des, zonos, masks, keys):
-        return plan_vmap(q0, qd0, qdd0, q_des, zonos, masks, keys)
+        return plan_vmap(q0, qd0, qdd0, q_des, zonos, masks, keys,
+                         jnp.zeros_like(q0))
 
     step = jax.shard_map(
         local_step,

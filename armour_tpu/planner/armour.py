@@ -52,6 +52,22 @@ class PlanResult(NamedTuple):
     torque_radius: jnp.ndarray  # (T, nf) exported like armour_control_input_radius.out
 
 
+class ProblemData(NamedTuple):
+    """Built reachable-set/constraint data for one planning problem —
+    the output of the heavy build phase, consumed by the compact solver."""
+
+    links: object            # PackedPZ (T, L, 3)
+    u: object                # PackedPZ (T, nf) or None
+    grasp: object            # PackedPZ (T, 3) or None
+    hp: object               # BufferedHyperplanes
+    t_rad: jnp.ndarray       # (T, nf)
+    q0: jnp.ndarray
+    qd0: jnp.ndarray
+    Tqd0: jnp.ndarray
+    TTqdd0: jnp.ndarray
+    k_range: jnp.ndarray
+
+
 @dataclasses.dataclass
 class ArmourPlanner:
     """Builds and holds the jitted planning function.
@@ -69,13 +85,27 @@ class ArmourPlanner:
 
     def __post_init__(self):
         self._plan = jax.jit(self._make_plan_fn())
-        self.plan_batch = jax.jit(
-            jax.vmap(self._make_plan_fn(), in_axes=(0, 0, 0, 0, 0, 0, 0))
-        )
+        # batched path: the heavy reachable-set/hyperplane build runs as a
+        # sequential lax.map over worlds (compiled ONCE, unbatched — a fully
+        # vmapped build blows up XLA compile time), while the
+        # iteration-dominated NLP solve is vmapped for throughput.
+        build = self._make_build_fn()
+        solve = self._make_solve_fn()
 
-    def plan(self, q0, qd0, qdd0, q_des, obstacles: ObstacleSet, key=None):
+        def _batch(q0, qd0, qdd0, q_des, zonos, masks, keys, k_warm=None):
+            if k_warm is None:
+                k_warm = jnp.zeros(q0.shape, self.dtype)
+            probs = jax.lax.map(lambda a: build(*a), (q0, qd0, qdd0, zonos, masks))
+            return jax.vmap(solve)(probs, q_des, keys, k_warm)
+
+        self.plan_batch = jax.jit(_batch)
+
+    def plan(self, q0, qd0, qdd0, q_des, obstacles: ObstacleSet, key=None,
+             k_warm=None):
         if key is None:
             key = jax.random.PRNGKey(0)
+        if k_warm is None:
+            k_warm = jnp.zeros(self.spec.n_factors, self.dtype)
         return self._plan(
             jnp.asarray(q0, self.dtype),
             jnp.asarray(qd0, self.dtype),
@@ -84,26 +114,72 @@ class ArmourPlanner:
             obstacles.zonos.astype(self.dtype),
             obstacles.mask,
             key,
+            jnp.asarray(k_warm, self.dtype),
         )
 
     # -- construction -----------------------------------------------------
     def _make_plan_fn(self, collision_axis: str | None = None):
-        """Build the plan function.
+        """Single-problem plan function: build + solve composed."""
+        build = self._make_build_fn()
+        solve = self._make_solve_fn(collision_axis)
 
-        ``collision_axis``: optional mesh axis name for constraint-bank
-        ("cp") sharding — the obstacle capacity is split across devices,
-        each shard builds/evaluates only its hyperplane bank, and the
-        collision block is all-gathered over ICI inside the NLP (SURVEY.md
-        §5 distributed-communication design).
-        """
-        spec, cfg, dtype = self.spec, self.cfg, self.dtype
+        def plan(q0, qd0, qdd0, q_des, obs_zonos, obs_mask, key, k_warm):
+            return solve(build(q0, qd0, qdd0, obs_zonos, obs_mask), q_des, key, k_warm)
+
+        return plan
+
+    def _make_build_fn(self):
+        """Reachable-set phase: JRS -> PZ-FK/RNEA -> hyperplane bank ->
+        packed slicing tensors (reference §II, `armour_main.cu:94-222`)."""
+        spec, cfg0, dtype = self.spec, self.cfg, self.dtype
         armtd = self.traj_type == "orig"
-        if armtd:
-            # ARMTD: no torque constraints, no tracking-error sets
-            cfg = dataclasses.replace(cfg, input_constraints=False)
+        cfg = dataclasses.replace(cfg0, input_constraints=False) if armtd else cfg0
+        from armour_tpu.ops.pz import pack_pzs
+
+        def build(q0, qd0, qdd0, obs_zonos, obs_mask):
+            if armtd:
+                jrs = make_armtd_jrs(spec, cfg, q0, qd0, dtype)
+                Tqd0 = jnp.zeros_like(q0)
+                TTqdd0 = jnp.zeros_like(q0)
+            else:
+                jrs = make_bezier_jrs(spec, cfg, q0, qd0, qdd0, dtype)
+                Tqd0, TTqdd0 = jrs.Tqd0, jrs.TTqdd0
+            rs = build_reachable_sets(spec, cfg, jrs, dtype, grasp=self.grasp)
+            hp = buffer_obstacles(
+                rs.link_indep_gens,
+                ObstacleSet(obs_zonos, obs_mask),
+                slack=cfg.collision_numeric_slack,
+            )
+            return ProblemData(
+                links=pack_pzs(rs.link_pz, axis=1),
+                u=pack_pzs(rs.u_nom, axis=-1) if cfg.input_constraints else None,
+                grasp=pack_pzs(rs.grasp_cons, axis=-1) if rs.grasp_cons else None,
+                hp=hp,
+                t_rad=rs.torque_radius,
+                q0=q0,
+                qd0=qd0,
+                Tqd0=Tqd0,
+                TTqdd0=TTqdd0,
+                k_range=jnp.asarray(jrs.k_range, dtype),
+            )
+
+        return build
+
+    def _make_solve_fn(self, collision_axis: str | None = None):
+        """NLP phase: constraint closures over a built problem -> multi-start
+        ALM -> strict re-verification (reference §III, finalize_solution).
+
+        ``collision_axis``: optional mesh axis for constraint-bank ("cp")
+        sharding — each shard holds its slice of the hyperplane bank and the
+        collision block is all-gathered over ICI inside the NLP.
+        """
+        import types
+
+        spec, cfg0, dtype = self.spec, self.cfg, self.dtype
+        armtd = self.traj_type == "orig"
+        cfg = dataclasses.replace(cfg0, input_constraints=False) if armtd else cfg0
         nf = spec.n_factors
         t_lim = jnp.asarray(spec.torque_limits, dtype)
-        # ARMTD mode has no tracking-error sets, so no qe/qde tightening
         qe = 0.0 if armtd else spec.qe
         qde = 0.0 if armtd else spec.qde
         pos_lb = jnp.asarray(spec.pos_limits_lb + qe, dtype)
@@ -113,60 +189,40 @@ class ArmourPlanner:
         cont = jnp.asarray(spec.continuous_joints)
         s_plan = cfg.t_plan / cfg.duration
 
-        def plan(q0, qd0, qdd0, q_des, obs_zonos, obs_mask, key):
-            if armtd:
-                jrs = make_armtd_jrs(spec, cfg, q0, qd0, dtype)
-            else:
-                jrs = make_bezier_jrs(spec, cfg, q0, qd0, qdd0, dtype)
-            rs = build_reachable_sets(spec, cfg, jrs, dtype, grasp=self.grasp)
-            hp = buffer_obstacles(
-                rs.link_indep_gens,
-                ObstacleSet(obs_zonos, obs_mask),
-                slack=cfg.collision_numeric_slack,
+        def solve(prob: ProblemData, q_des, key, k_warm):
+            shim = types.SimpleNamespace(
+                q0=prob.q0, qd0=prob.qd0, Tqd0=prob.Tqd0, TTqdd0=prob.TTqdd0,
+                k_range=prob.k_range, duration=cfg.duration,
+                t_plan=cfg.t_plan, t_total=cfg.duration,
             )
-            t_rad = rs.torque_radius  # (T, nf)
-
-            # pack per-joint PZ groups onto shared bases: the NLP hot loop
-            # slices each group with ONE contraction (compile- and run-time
-            # critical; replaces the reference's per-PZ OpenMP slicing,
-            # NLPclass.cu:290-321)
-            from armour_tpu.ops.pz import pack_pzs
-
-            packed_u = pack_pzs(rs.u_nom, axis=-1) if cfg.input_constraints else None
-            packed_links = pack_pzs(rs.link_pz, axis=1)  # (T, L, 3)
 
             def blocks(k):
-                """Constraint blocks, each feasible iff <= 0."""
                 out = {}
-                if cfg.input_constraints:
-                    u_c, _ = packed_u.slice(k)           # (T, nf)
+                if prob.u is not None:
+                    u_c, _ = prob.u.slice(k)              # (T, nf)
                     out["torque"] = jnp.concatenate(
                         [
-                            (u_c - (t_lim - t_rad)).ravel(),
-                            ((-t_lim + t_rad) - u_c).ravel(),
+                            (u_c - (t_lim - prob.t_rad)).ravel(),
+                            ((-t_lim + prob.t_rad) - u_c).ravel(),
                         ]
                     )
-                if rs.grasp_cons:
-                    gc, gr = zip(*[g.slice(k) for g in rs.grasp_cons])
-                    out["grasp"] = jnp.concatenate(
-                        [c + r for c, r in zip(gc, gr)]
-                    )
-                centers, _ = packed_links.slice(k)        # (T, L, 3)
-                col = collision_constraint_values(hp, centers)
+                if prob.grasp is not None:
+                    gc, gr = prob.grasp.slice(k)
+                    out["grasp"] = (gc + gr).ravel()
+                centers, _ = prob.links.slice(k)          # (T, L, 3)
+                col = collision_constraint_values(prob.hp, centers)
                 if collision_axis is not None:
                     col = jax.lax.all_gather(col, collision_axis)
                 out["collision"] = col.ravel()
                 if armtd:
-                    mn, mx = armtd_position_extrema(jrs, k)
+                    mn, mx = armtd_position_extrema(shim, k)
+                    vn, vx = armtd_velocity_extrema(shim, k)
                 else:
-                    mn, mx = joint_position_extrema(jrs, k)
+                    mn, mx = joint_position_extrema(shim, k)
+                    vn, vx = joint_velocity_extrema(shim, k)
                 out["position"] = jnp.concatenate(
                     [pos_lb - mn, mn - pos_ub, pos_lb - mx, mx - pos_ub]
                 )
-                if armtd:
-                    vn, vx = armtd_velocity_extrema(jrs, k)
-                else:
-                    vn, vx = joint_velocity_extrema(jrs, k)
                 out["velocity"] = jnp.concatenate(
                     [vel_lb - vn, vn - vel_ub, vel_lb - vx, vx - vel_ub]
                 )
@@ -177,20 +233,25 @@ class ArmourPlanner:
 
             def f_fn(k):
                 if armtd:
-                    q_plan, _, _ = armtd_ref(q0, qd0, jrs.k_range * k,
+                    q_plan, _, _ = armtd_ref(prob.q0, prob.qd0, prob.k_range * k,
                                              cfg.t_plan, cfg.t_plan, cfg.duration)
                 else:
-                    q_plan = q_des_fn(q0, jrs.Tqd0, jrs.TTqdd0, jrs.k_range * k, s_plan)
+                    q_plan = q_des_fn(prob.q0, prob.Tqd0, prob.TTqdd0,
+                                      prob.k_range * k, s_plan)
                 d = q_plan - q_des
                 d = jnp.where(cont, wrap_to_pi(d), d)
                 return cfg.cost_scale * jnp.sum(d * d)
 
-            # multi-start: k = 0 (reference init, NLPclass.cu:193-199) plus
-            # random interior points (uarmtd_planner.m:768)
+            # multi-start: k = 0 (reference init, NLPclass.cu:193-199) +
+            # warm start (receding-horizon continuity) + random interior
+            # points (uarmtd_planner.m:768)
+            n_rand = max(cfg.nlp_num_starts - 2, 1)
             k_rand = jax.random.uniform(
-                key, (cfg.nlp_num_starts - 1, nf), dtype, minval=-0.6, maxval=0.6
+                key, (n_rand, nf), dtype, minval=-0.6, maxval=0.6
             )
-            k0s = jnp.concatenate([jnp.zeros((1, nf), dtype), k_rand])
+            k0s = jnp.concatenate(
+                [jnp.zeros((1, nf), dtype), k_warm[None], k_rand]
+            )
 
             sol = jax.vmap(
                 lambda k0: solve_box_alm(
@@ -207,10 +268,10 @@ class ArmourPlanner:
             def verify(k):
                 b = blocks(k)
                 ok = jnp.asarray(True)
-                if cfg.input_constraints:
+                if prob.u is not None:
                     ok &= jnp.max(b["torque"]) <= cfg.torque_violation_threshold
                 ok &= jnp.max(b["collision"]) <= cfg.collision_violation_threshold
-                if rs.grasp_cons:
+                if prob.grasp is not None:
                     ok &= jnp.max(b["grasp"]) <= 1e-6
                 ok &= jnp.max(b["position"]) <= 1e-9
                 ok &= jnp.max(b["velocity"]) <= 1e-9
@@ -226,7 +287,7 @@ class ArmourPlanner:
                 feasible=feasible,
                 cost=sol.cost[best] / cfg.cost_scale,
                 max_violation=sol.max_violation[best],
-                torque_radius=t_rad,
+                torque_radius=prob.t_rad,
             )
 
-        return plan
+        return solve

@@ -136,6 +136,7 @@ class EpisodeRunner:
                 summary: EpisodeSummary
                 consecutive_fail: jnp.ndarray
                 key: jnp.ndarray
+                k_prev: jnp.ndarray
 
             zero = jnp.asarray(False)
             s0 = EpisodeSummary(
@@ -151,7 +152,8 @@ class EpisodeRunner:
                 # (uarmtd_planner.m:91-94 uses reference_state)
                 q0p, qd0p, qdd0p = traj_eval(c.traj, scfg.t_move, pcfg.duration)
                 q_des = waypoint_fn(c.q, goal)
-                plan = planner_fn(q0p, qd0p, qdd0p, q_des, obs_zonos, obs_mask, key_i)
+                plan = planner_fn(q0p, qd0p, qdd0p, q_des, obs_zonos, obs_mask,
+                                  key_i, c.k_prev)
 
                 new_traj = TrajParams(
                     q0=q0p, qd0=qd0p, qdd0=qdd0p,
@@ -216,6 +218,7 @@ class EpisodeRunner:
                     summary=s,
                     consecutive_fail=jnp.where(active, fails, c.consecutive_fail),
                     key=key_n,
+                    k_prev=sel(jnp.nan_to_num(plan.k), c.k_prev),
                 )
                 return c_next, None
 
@@ -223,6 +226,7 @@ class EpisodeRunner:
                 q=start, qd=jnp.zeros(nf, dtype), traj=traj0,
                 done=jnp.asarray(False), summary=s0,
                 consecutive_fail=jnp.asarray(0), key=key,
+                k_prev=jnp.zeros(nf, dtype),
             )
             c_end, _ = jax.lax.scan(step, c0, None, length=scfg.max_iterations)
             return c_end.summary

@@ -123,11 +123,13 @@ def run_recorded_episode(
     records = []
     goal_reached = collision = stopped = False
     fails = 0
+    k_prev = jnp.zeros(nf, dtype)
     for it in range(scfg.max_iterations):
         q0p, qd0p, qdd0p = traj_eval(traj, scfg.t_move, pcfg.duration)
         q_des = straight_line_waypoint(spec, q, jnp.asarray(world.goal, dtype))
         key, ki = jax.random.split(key)
-        plan = planner.plan(q0p, qd0p, qdd0p, q_des, world.obstacles, ki)
+        plan = planner.plan(q0p, qd0p, qdd0p, q_des, world.obstacles, ki,
+                            k_warm=k_prev)
         feasible = bool(plan.feasible)
         if feasible:
             traj = TrajParams(
@@ -140,6 +142,7 @@ def run_recorded_episode(
             traj = traj._replace(t_offset=traj.t_offset + scfg.t_move)
             fails += 1
 
+        k_prev = jnp.nan_to_num(jnp.asarray(plan.k, dtype))
         q, qd, log = roll(q, qd, traj, tp)
         records.append(
             IterationRecord(

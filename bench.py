@@ -68,8 +68,23 @@ def main():
         jax.random.split(jax.random.PRNGKey(0), B),
     )
 
-    # compile + warmup
-    res = jax.block_until_ready(planner.plan_batch(*args))
+    # compile + warmup (retry: the TPU tunnel can drop transiently)
+    last_err = None
+    for attempt in range(3):
+        try:
+            res = jax.block_until_ready(planner.plan_batch(*args))
+            last_err = None
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            time.sleep(30)
+    if last_err is not None:
+        print(json.dumps({
+            "metric": "safe_plans_per_s_per_chip", "value": 0.0,
+            "unit": "plans/s/chip", "vs_baseline": 0.0,
+            "error": str(last_err)[:200],
+        }))
+        return
     n_feasible = int(np.sum(np.array(res.feasible)))
 
     reps = int(os.environ.get("BENCH_REPS", "3"))

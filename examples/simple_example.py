@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Minimum end-to-end slice (rebuild of `kinova_simple_example.m`):
+a Kinova Gen3 in a small world with two box obstacles plans and executes a
+receding-horizon motion to a configuration goal, with full logging and
+figures.
+
+Run:  python examples/simple_example.py  (add --f64 on CPU)
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--time-steps", type=int, default=64)
+    ap.add_argument("--out-dir", default="/tmp/armour_tpu_example")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from armour_tpu.collision.zonotope import ObstacleSet
+    from armour_tpu.config import PlannerConfig, SimConfig
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+    from armour_tpu.sim.recording import run_recorded_episode
+    from armour_tpu.sim.world import World
+    from armour_tpu.utils.plotting import (
+        plot_torques,
+        plot_tracking,
+        plot_world_topdown,
+    )
+    from armour_tpu.sim.recording import load_recording
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    spec = kinova_gen3_spec()
+    pcfg = PlannerConfig(num_time_steps=args.time_steps)
+    scfg = SimConfig(max_iterations=30)
+
+    # two-obstacle demo world in front of the arm
+    obstacles = ObstacleSet.from_boxes(
+        np.array([[0.4, 0.3, 0.5], [0.45, -0.2, 0.6]]),
+        np.array([[0.12, 0.12, 0.12], [0.1, 0.1, 0.2]]),
+        pcfg.max_obstacles,
+    )
+    start = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    goal = start + np.array([0.3, 0.15, -0.2, 0.25, -0.15, 0.1, 0.2])
+    world = World(
+        start=jnp.asarray(start, dtype), goal=jnp.asarray(goal, dtype),
+        obstacles=obstacles,
+    )
+
+    print("running recorded episode ...")
+    rec = run_recorded_episode(spec, pcfg, scfg, world, dtype=dtype, verbose=True)
+    print(
+        f"goal_reached={rec.goal_reached} collision={rec.collision} "
+        f"stopped={rec.stopped} iterations={len(rec.records)}"
+    )
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    npz = os.path.join(args.out_dir, "episode.npz")
+    rec.save(npz)
+    rec.export_hardware_csv(os.path.join(args.out_dir, "trajectory.csv"))
+    loaded = load_recording(npz)
+    for fn, name in [
+        (plot_tracking, "tracking.png"),
+        (plot_torques, "torques.png"),
+        (plot_world_topdown, "world.png"),
+    ]:
+        out = fn(loaded, spec, os.path.join(args.out_dir, name))
+        if out:
+            print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Multi-device sharding tests (run in subprocesses so the virtual device
+count can be forced before jax initializes)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _run(code: str, timeout=420):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+
+
+def test_dryrun_multichip_4dev():
+    r = _run(
+        "import __graft_entry__ as g; g.dryrun_multichip(4)"
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip OK" in r.stdout
+
+
+def test_sharded_plan_matches_unsharded():
+    """cp-sharded constraint bank must give the same plans as single-device."""
+    code = """
+import jax
+jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp, numpy as np
+from armour_tpu.config import PlannerConfig
+from armour_tpu.parallel.mesh import make_planner_mesh, sharded_plan_step
+from armour_tpu.planner.armour import ArmourPlanner
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+spec = kinova_gen3_spec()
+cfg = PlannerConfig(num_time_steps=8, max_obstacles=4, nlp_num_starts=2,
+                    nlp_outer_iters=4, nlp_inner_iters=4)
+mesh = make_planner_mesh(jax.devices()[:4], cp_size=2)
+step = sharded_plan_step(spec, cfg, mesh, jnp.float64)
+
+B = 2
+q0 = jnp.tile(jnp.asarray([0.65,-0.09,-0.48,-1.23,-1.57,-1.07,0.0]), (B,1))
+qd0 = jnp.zeros((B,7)); qdd0 = jnp.zeros((B,7))
+q_des = q0 + 0.4*cfg.k_range
+zonos = jnp.zeros((B, 4, 4, 3)).at[:,0,0].set(jnp.asarray([0.4,0.2,0.4])).at[:,0,1:].set(jnp.eye(3)*0.05)
+masks = jnp.zeros((B,4), bool).at[:,0].set(True)
+keys = jax.random.split(jax.random.PRNGKey(0), B)
+res_s = step(q0, qd0, qdd0, q_des, zonos, masks, keys)
+
+planner = ArmourPlanner(spec, cfg, jnp.float64)
+res_u = planner.plan_batch(q0, qd0, qdd0, q_des, zonos, masks, keys)
+assert bool(jnp.all(res_s.feasible == res_u.feasible)), (res_s.feasible, res_u.feasible)
+np.testing.assert_allclose(np.asarray(res_s.k), np.asarray(res_u.k), atol=2e-6)
+print("SHARDED-MATCH-OK")
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SHARDED-MATCH-OK" in r.stdout
