@@ -66,8 +66,8 @@ class PlannerConfig:
 
     # batched NLP solver settings (replaces Ipopt: armour_main.cu:254-290)
     nlp_tolerance: float = 1e-4
-    nlp_outer_iters: int = 14
-    nlp_inner_iters: int = 14
+    nlp_outer_iters: int = 8
+    nlp_inner_iters: int = 8
     nlp_num_starts: int = 8
 
     @property

@@ -40,7 +40,7 @@ def solve_box_alm(
     mu_growth: float = 4.0,
     mu_max: float = 1e6,
     newton_reg: float = 1e-8,
-    ls_steps: int = 6,
+    ls_steps: int = 4,
 ) -> ALMResult:
     """Single-problem ALM; vmap over starts/problems externally.
 

@@ -1,8 +1,13 @@
 """Throughput benchmark: safe 7-DOF trajectory optimizations per second.
 
 Runs the full ARMOUR planning pipeline (JRS -> PZ-FK/RNEA -> buffered
-obstacle constraints -> multi-start ALM NLP -> verification) batched over
-worlds on the available accelerator and prints ONE JSON line.
+obstacle constraints -> multi-start ALM NLP -> verification) on the
+available accelerator and prints ONE JSON line.
+
+Strategy: try the batched (vmapped-solve) program in a subprocess with a
+wall-clock budget — remote TPU compile services can be slow or flaky — and
+fall back to the sequentially-executed single-plan program (much smaller
+compile) if the batched one does not come up in time.
 
 Baseline: the reference solves ONE planning problem per 0.5 s replan budget
 (`uarmtd_planner.m:56-62`) => 2 plans/s.  vs_baseline = plans_per_s / 2.
@@ -10,15 +15,37 @@ Baseline: the reference solves ONE planning problem per 0.5 s replan budget
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _problem_set(cfg, B):
+    rng = np.random.default_rng(0)
+    q0 = np.tile([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0], (B, 1))
+    q0 += rng.uniform(-0.3, 0.3, (B, 7))
+    qd0 = rng.uniform(-0.2, 0.2, (B, 7))
+    qdd0 = rng.uniform(-0.3, 0.3, (B, 7))
+    q_des = q0 + rng.uniform(-1.0, 1.0, (B, 7)) * cfg.k_range
+    n_obs = 8
+    zonos = np.zeros((B, cfg.max_obstacles, 4, 3))
+    for b in range(B):
+        centers = rng.uniform(-0.8, 0.8, (n_obs, 3))
+        centers[:, 2] = np.abs(centers[:, 2]) + 0.2
+        sides = rng.uniform(0.05, 0.3, (n_obs, 3))
+        zonos[b, :n_obs, 0] = centers
+        for i in range(3):
+            zonos[b, :n_obs, 1 + i, i] = sides[:, i] * 0.5
+    masks = np.zeros((B, cfg.max_obstacles), bool)
+    masks[:, :n_obs] = True
+    return q0, qd0, qdd0, q_des, zonos, masks
+
+
+def _setup():
     import jax
 
-    # persistent compilation cache: the driver re-runs this every round
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -34,80 +61,112 @@ def main():
 
     spec = kinova_gen3_spec()
     cfg = PlannerConfig()  # production sizes: T=128, capacity 40 obstacles
-    dtype = jnp.float32
-    planner = ArmourPlanner(spec, cfg, dtype)
+    planner = ArmourPlanner(spec, cfg, jnp.float32)
+    return jax, jnp, cfg, planner
 
-    B = int(os.environ.get("BENCH_BATCH", "32"))
-    n_obs = 8
-    rng = np.random.default_rng(0)
 
-    q0 = np.tile([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0], (B, 1))
-    q0 += rng.uniform(-0.3, 0.3, (B, 7))
-    qd0 = rng.uniform(-0.2, 0.2, (B, 7))
-    qdd0 = rng.uniform(-0.3, 0.3, (B, 7))
-    q_des = q0 + rng.uniform(-1.0, 1.0, (B, 7)) * cfg.k_range
+def _constraint_gflops(cfg, plans_per_s):
+    """Constraint-bank arithmetic throughput implied by the plan rate
+    (BASELINE.json metric: constraint-eval GFLOP/s).  Dominant term: the
+    collision signed-distance pipeline over (T x links x obstacles x 36
+    hyperplanes), evaluated ~12x per NLP iteration (primal + 7 tangents +
+    line search) across starts and iterations."""
+    T, L, O = cfg.num_time_steps, 7, cfg.max_obstacles
+    per_eval = T * L * O * 36 * 8  # dot3 + compares + selects, approx flops
+    evals_per_plan = cfg.nlp_num_starts * cfg.nlp_outer_iters * cfg.nlp_inner_iters * 12
+    return round(per_eval * evals_per_plan * plans_per_s / 1e9, 1)
 
-    zonos = np.zeros((B, cfg.max_obstacles, 4, 3))
-    for b in range(B):
-        centers = rng.uniform(-0.8, 0.8, (n_obs, 3))
-        centers[:, 2] = np.abs(centers[:, 2]) + 0.2
-        sides = rng.uniform(0.05, 0.3, (n_obs, 3))
-        zonos[b, :n_obs, 0] = centers
-        for i in range(3):
-            zonos[b, :n_obs, 1 + i, i] = sides[:, i] * 0.5
-    masks = np.zeros((B, cfg.max_obstacles), bool)
-    masks[:, :n_obs] = True
 
+def _emit(plans_per_s, extra):
+    out = {
+        "metric": "safe_plans_per_s_per_chip",
+        "value": round(plans_per_s, 3),
+        "unit": "plans/s/chip",
+        "vs_baseline": round(plans_per_s / 2.0, 3),
+    }
+    out.update(extra)
+    print(json.dumps(out))
+
+
+def run_batch_mode():
+    jax, jnp, cfg, planner = _setup()
+    B = int(os.environ.get("BENCH_BATCH", "16"))
+    q0, qd0, qdd0, q_des, zonos, masks = _problem_set(cfg, B)
     args = (
-        jnp.asarray(q0, dtype),
-        jnp.asarray(qd0, dtype),
-        jnp.asarray(qdd0, dtype),
-        jnp.asarray(q_des, dtype),
-        jnp.asarray(zonos, dtype),
-        jnp.asarray(masks),
+        jnp.asarray(q0, jnp.float32), jnp.asarray(qd0, jnp.float32),
+        jnp.asarray(qdd0, jnp.float32), jnp.asarray(q_des, jnp.float32),
+        jnp.asarray(zonos, jnp.float32), jnp.asarray(masks),
         jax.random.split(jax.random.PRNGKey(0), B),
     )
-
-    # compile + warmup (retry: the TPU tunnel can drop transiently)
-    last_err = None
-    for attempt in range(3):
-        try:
-            res = jax.block_until_ready(planner.plan_batch(*args))
-            last_err = None
-            break
-        except Exception as e:  # noqa: BLE001
-            last_err = e
-            time.sleep(30)
-    if last_err is not None:
-        print(json.dumps({
-            "metric": "safe_plans_per_s_per_chip", "value": 0.0,
-            "unit": "plans/s/chip", "vs_baseline": 0.0,
-            "error": str(last_err)[:200],
-        }))
-        return
+    res = jax.block_until_ready(planner.plan_batch(*args))
     n_feasible = int(np.sum(np.array(res.feasible)))
-
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for _ in range(reps):
         res = jax.block_until_ready(planner.plan_batch(*args))
     dt = (time.perf_counter() - t0) / reps
+    plans_per_s = B / dt / jax.device_count()
+    _emit(plans_per_s, {
+        "mode": "batch", "batch": B,
+        "feasible_fraction": round(n_feasible / B, 3),
+        "seconds_per_batch": round(dt, 4),
+        "constraint_eval_gflops": _constraint_gflops(cfg, plans_per_s),
+    })
 
-    n_chips = jax.device_count()
-    plans_per_s = B / dt / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "safe_plans_per_s_per_chip",
-                "value": round(plans_per_s, 3),
-                "unit": "plans/s/chip",
-                "vs_baseline": round(plans_per_s / 2.0, 3),
-                "batch": B,
-                "feasible_fraction": round(n_feasible / B, 3),
-                "seconds_per_batch": round(dt, 4),
-            }
-        )
-    )
+
+def run_single_mode():
+    jax, jnp, cfg, planner = _setup()
+    from armour_tpu.collision.zonotope import ObstacleSet
+
+    B = 8
+    q0, qd0, qdd0, q_des, zonos, masks = _problem_set(cfg, B)
+    key = jax.random.PRNGKey(0)
+
+    def one(i):
+        obs = ObstacleSet(jnp.asarray(zonos[i], jnp.float32), jnp.asarray(masks[i]))
+        return planner.plan(q0[i], qd0[i], qdd0[i], q_des[i], obs, key)
+
+    res = jax.block_until_ready(one(0))  # compile
+    n_feasible = int(bool(res.feasible))
+    t0 = time.perf_counter()
+    for i in range(1, B):
+        res = jax.block_until_ready(one(i))
+        n_feasible += int(bool(res.feasible))
+    dt = (time.perf_counter() - t0) / (B - 1)
+    plans_per_s = 1.0 / dt / jax.device_count()
+    _emit(plans_per_s, {
+        "mode": "single-fallback",
+        "feasible_fraction": round(n_feasible / B, 3),
+        "seconds_per_plan": round(dt, 4),
+    })
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode == "batch":
+        run_batch_mode()
+        return
+    if mode == "single":
+        run_single_mode()
+        return
+
+    # orchestrate: each mode runs in a subprocess with a wall-clock budget
+    budget = int(os.environ.get("BENCH_TIMEOUT", "420"))
+    for sub_mode in ("batch", "single"):
+        env = dict(os.environ, BENCH_MODE=sub_mode)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=budget, capture_output=True, text=True,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+        except subprocess.TimeoutExpired:
+            continue
+    _emit(0.0, {"mode": "unavailable",
+                "error": "TPU compile/exec did not complete within budget"})
 
 
 if __name__ == "__main__":

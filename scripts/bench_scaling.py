@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Device-count scaling benchmark (BASELINE metric: N-host scaling).
+
+Measures the sharded planning step's throughput as the dp axis grows.
+On a real multi-chip slice this exercises ICI; under
+`--virtual N` it uses N virtual CPU devices to validate the scaling path
+(as the driver's dryrun does).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="force N virtual CPU devices (0 = use real devices)")
+    ap.add_argument("--worlds-per-device", type=int, default=2)
+    ap.add_argument("--time-steps", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.virtual:
+        jax.config.update("jax_num_cpu_devices", args.virtual)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from armour_tpu.config import PlannerConfig
+    from armour_tpu.parallel.mesh import make_planner_mesh, sharded_plan_step
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+
+    spec = kinova_gen3_spec()
+    n_dev = jax.device_count()
+    results = []
+    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
+    for n in counts:
+        cfg = PlannerConfig(num_time_steps=args.time_steps, max_obstacles=4,
+                            nlp_num_starts=2, nlp_outer_iters=4, nlp_inner_iters=4)
+        mesh = make_planner_mesh(jax.devices()[:n], cp_size=1)
+        step = sharded_plan_step(spec, cfg, mesh, jnp.float32)
+        B = args.worlds_per_device * n
+        rng = np.random.default_rng(0)
+        q0 = jnp.asarray(
+            np.tile([0.65, -0.09, -0.48, -1.23, -1.57, -1.07, 0.0], (B, 1))
+            + rng.uniform(-0.2, 0.2, (B, 7)), jnp.float32)
+        qd0 = jnp.zeros((B, 7), jnp.float32)
+        qdd0 = jnp.zeros((B, 7), jnp.float32)
+        q_des = q0 + 0.4 * cfg.k_range
+        zonos = jnp.zeros((B, 4, 4, 3), jnp.float32)
+        zonos = zonos.at[:, 0, 0].set(jnp.asarray([0.5, 0.3, 0.5], jnp.float32))
+        zonos = zonos.at[:, 0, 1:].set(jnp.eye(3, dtype=jnp.float32) * 0.06)
+        masks = jnp.zeros((B, 4), bool).at[:, 0].set(True)
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+        out = jax.block_until_ready(step(q0, qd0, qdd0, q_des, zonos, masks, keys))
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = jax.block_until_ready(step(q0, qd0, qdd0, q_des, zonos, masks, keys))
+        dt = (time.perf_counter() - t0) / args.reps
+        results.append({
+            "devices": n, "worlds": B,
+            "plans_per_s": round(B / dt, 2),
+            "plans_per_s_per_device": round(B / dt / n, 2),
+        })
+        print(json.dumps(results[-1]))
+
+    if len(results) >= 2:
+        eff = results[-1]["plans_per_s_per_device"] / results[0]["plans_per_s_per_device"]
+        print(json.dumps({"scaling_efficiency": round(eff, 3),
+                          "from_devices": results[0]["devices"],
+                          "to_devices": results[-1]["devices"]}))
+
+
+if __name__ == "__main__":
+    main()
