@@ -146,51 +146,20 @@ def collision_constraint_values(
 
     Returns (T, L, O); masked obstacle slots give a large negative value
     (always feasible); live obstacles with fully degenerate hyperplane sets
-    stay infeasible like the reference.  Differentiable in link_centers.
-
-    Gradient structure: the argmax hyperplane is selected under
-    stop_gradient and only the selected plane enters the differentiable
-    path — exactly the reference's argmax trick
-    (`CollisionChecking.cu:286-297`).  This keeps forward-mode (jvp)
-    residuals at (3, L, O, T) instead of (36, L, O, T): materializing the
-    full pre-max tensor inside the NLP's Jacobian sweep was the dominant
-    HBM cost at production batch sizes.
+    stay infeasible like the reference.  Differentiable in link_centers
+    (autodiff through the max gives the reference's argmax-select gradient,
+    `CollisionChecking.cu:286-297`).
     """
-    import jax
-
     c_clt = jnp.transpose(link_centers, (2, 1, 0))          # (3, L, T)
-
-    # -- argmax selection (no gradients) --------------------------------
-    c_ng = jax.lax.stop_gradient(c_clt)
-    # elementwise mul + sum fuses into the max-reduce without materializing
+    # elementwise mul + sum keeps the pipeline fusable into the max-reduce
     Ac = (
-        hp.A[:, 0] * c_ng[0][:, None, :]
-        + hp.A[:, 1] * c_ng[1][:, None, :]
-        + hp.A[:, 2] * c_ng[2][:, None, :]
+        hp.A[:, 0] * c_clt[0][:, None, :]
+        + hp.A[:, 1] * c_clt[1][:, None, :]
+        + hp.A[:, 2] * c_clt[2][:, None, :]
     )                                                        # (P, L, O, T)
     pos = Ac - (hp.d + hp.delta)
     neg = -Ac - (-hp.d + hp.delta)
-    pick_neg = neg > pos
     both = jnp.where(hp.valid, jnp.maximum(pos, neg), _EXCLUDED)
-    p_star = jnp.argmax(both, axis=0)                        # (L, O, T)
-    sign = jnp.where(
-        jnp.take_along_axis(pick_neg, p_star[None], axis=0)[0], -1.0, 1.0
-    )
-    any_valid = jnp.any(hp.valid, axis=0)
-
-    # -- differentiable path: selected hyperplane only ------------------
-    idx = p_star[None]                                       # (1, L, O, T)
-    A_star = jnp.stack(
-        [jnp.take_along_axis(hp.A[:, c], idx, axis=0)[0] for c in range(3)]
-    )                                                        # (3, L, O, T)
-    d_star = jnp.take_along_axis(hp.d, idx, axis=0)[0]
-    delta_star = jnp.take_along_axis(hp.delta, idx, axis=0)[0]
-    Ac_star = (
-        A_star[0] * c_clt[0][:, None, :]
-        + A_star[1] * c_clt[1][:, None, :]
-        + A_star[2] * c_clt[2][:, None, :]
-    )                                                        # (L, O, T)
-    val = sign * (Ac_star - d_star) - delta_star
-    g = -jnp.where(any_valid, val, _EXCLUDED)
+    g = -jnp.max(both, axis=0)                               # (L, O, T)
     g = jnp.where(hp.obs_mask[None, :, None], g, -1e3)
     return jnp.transpose(g, (2, 0, 1))                       # (T, L, O)

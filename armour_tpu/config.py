@@ -68,7 +68,7 @@ class PlannerConfig:
     nlp_tolerance: float = 1e-4
     nlp_outer_iters: int = 8
     nlp_inner_iters: int = 8
-    nlp_num_starts: int = 8
+    nlp_num_starts: int = 4
 
     @property
     def dt(self) -> float:

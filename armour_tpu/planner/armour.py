@@ -91,14 +91,22 @@ class ArmourPlanner:
         # iteration-dominated NLP solve is vmapped for throughput.
         build = self._make_build_fn()
         solve = self._make_solve_fn()
+        # two separately-jitted programs: each compiles faster than the
+        # fused whole, and the intermediate ProblemData batch is small
+        self._build_map = jax.jit(
+            lambda q0, qd0, qdd0, zonos, masks: jax.lax.map(
+                lambda a: build(*a), (q0, qd0, qdd0, zonos, masks)
+            )
+        )
+        self._solve_vmap = jax.jit(jax.vmap(solve))
 
         def _batch(q0, qd0, qdd0, q_des, zonos, masks, keys, k_warm=None):
             if k_warm is None:
                 k_warm = jnp.zeros(q0.shape, self.dtype)
-            probs = jax.lax.map(lambda a: build(*a), (q0, qd0, qdd0, zonos, masks))
-            return jax.vmap(solve)(probs, q_des, keys, k_warm)
+            probs = self._build_map(q0, qd0, qdd0, zonos, masks)
+            return self._solve_vmap(probs, q_des, keys, k_warm)
 
-        self.plan_batch = jax.jit(_batch)
+        self.plan_batch = _batch
 
     def plan(self, q0, qd0, qdd0, q_des, obstacles: ObstacleSet, key=None,
              k_warm=None):
