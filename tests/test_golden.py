@@ -1,0 +1,76 @@
+"""Golden-value regression tests (the `PZ_tests.cu` / `debug_script.m`
+analog): reachable-set slices at fixed hard-coded k vectors are pinned to a
+committed fixture.  Guards every future refactor of the PZ/JRS/RNEA stack
+against silent numerical drift.
+
+Regenerate (after an INTENTIONAL semantics change only):
+    env PYTHONPATH= JAX_PLATFORMS=cpu python tests/test_golden.py --regen
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from armour_tpu.config import PlannerConfig
+from armour_tpu.dynamics.pz_rnea import build_reachable_sets
+from armour_tpu.jrs.bezier import make_bezier_jrs
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "golden_slices.npz")
+
+SPEC = kinova_gen3_spec()
+CFG = PlannerConfig(num_time_steps=16)
+
+# the reference's hard-coded slice points (PZ_tests.cu:1-303)
+K_VALUES = np.array([
+    [0.5, 0.6, 0.7, 0.0, -0.5, -0.6, -0.7],
+    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0],
+])
+
+Q0 = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+QD0 = np.array([0.1, -0.05, 0.12, 0.08, -0.1, 0.06, -0.02])
+QDD0 = np.array([0.2, 0.1, -0.15, 0.05, 0.12, -0.08, 0.1])
+
+
+def compute_slices():
+    jrs = make_bezier_jrs(SPEC, CFG, Q0, QD0, QDD0)
+    rs = build_reachable_sets(SPEC, CFG, jrs)
+    out = {}
+    for i, k in enumerate(K_VALUES):
+        kk = jnp.asarray(k)
+        u_c = jnp.stack([u.slice(kk)[0] for u in rs.u_nom], -1)
+        u_r = jnp.stack([u.slice(kk)[1] for u in rs.u_nom], -1)
+        l_c = jnp.stack([p.slice(kk)[0] for p in rs.link_pz], 1)
+        out[f"u_c_{i}"] = np.asarray(u_c)
+        out[f"u_r_{i}"] = np.asarray(u_r)
+        out[f"link_c_{i}"] = np.asarray(l_c)
+    out["torque_radius"] = np.asarray(rs.torque_radius)
+    out["link_gens"] = np.asarray(rs.link_indep_gens)
+    return out
+
+
+def test_golden_slices():
+    if not os.path.exists(FIXTURE):
+        import pytest
+
+        pytest.skip("fixture not generated yet")
+    cur = compute_slices()
+    with np.load(FIXTURE) as z:
+        for key in z.files:
+            np.testing.assert_allclose(
+                cur[key], z[key], rtol=1e-9, atol=1e-10,
+                err_msg=f"golden drift in {key}",
+            )
+
+
+if __name__ == "__main__" and "--regen" in sys.argv:
+    jax.config.update("jax_enable_x64", True)
+    os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+    np.savez_compressed(FIXTURE, **compute_slices())
+    print("wrote", FIXTURE)
