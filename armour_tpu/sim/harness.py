@@ -232,3 +232,154 @@ class EpisodeRunner:
             return c_end.summary
 
         return episode
+
+
+def run_batch_stepped(
+    runner: EpisodeRunner,
+    starts,
+    goals,
+    zonos,
+    masks,
+    keys,
+    verbose: bool = False,
+) -> EpisodeSummary:
+    """Host-stepped batched episodes — the TPU-friendly battery driver.
+
+    Instead of one giant vmapped scan (whose XLA program is expensive to
+    compile), each receding-horizon iteration runs three separately-jitted
+    stages: lax.map reachable-set build over worlds, vmapped NLP solve,
+    vmapped plant rollout + safety checks.  Semantics match
+    EpisodeRunner.run_batch.
+    """
+    import numpy as np
+
+    spec, pcfg, scfg, dtype = runner.spec, runner.plan_cfg, runner.sim_cfg, runner.dtype
+    planner = runner.planner
+    nf = spec.n_factors
+    B = starts.shape[0]
+    cont = jnp.asarray(spec.continuous_joints)
+    pos_lb = jnp.asarray(spec.pos_limits_lb, dtype)
+    pos_ub = jnp.asarray(spec.pos_limits_ub, dtype)
+    spd = jnp.asarray(spec.speed_limits, dtype)
+    tlim = jnp.asarray(spec.torque_limits, dtype)
+    ub_pos = spec.qe
+    ub_vel = 2.0 * spec.ultimate_bound
+
+    from armour_tpu.sim.agent import TrajParams, TrueParams, rollout, traj_eval
+    from armour_tpu.sim.world import arm_collision_check, goal_check
+
+    solve_vmap = planner._solve_vmap
+    build_map = planner._build_map
+
+    @jax.jit
+    def roll_and_check(q, qd, traj, tp, goal, zonos_b, masks_b):
+        def one(q1, qd1, t1, p1, g1, z1, m1):
+            q_n, qd_n, log = rollout(spec, scfg, q1, qd1, t1, p1, pcfg.duration)
+            obs = ObstacleSet(z1, m1)
+            col = jnp.any(arm_collision_check(spec, log.q, obs))
+            tor = jnp.any(jnp.abs(log.u) > tlim[None, :] + 1e-6)
+            jl = jnp.any((log.q < pos_lb[None, :]) | (log.q > pos_ub[None, :])) | jnp.any(
+                jnp.abs(log.qd) > spd[None, :] + 1e-6
+            )
+            ubv = jnp.any(jnp.abs(_wrap(log.q - log.q_ref)) > ub_pos + 1e-6) | jnp.any(
+                jnp.abs(log.qd - log.qd_ref) > ub_vel + 1e-6
+            )
+            reached = goal_check(spec, q_n, g1, scfg.goal_radius)
+            return q_n, qd_n, col, tor, jl, ubv, reached
+
+        return jax.vmap(one)(q, qd, traj, tp, goal, zonos_b, masks_b)
+
+    @jax.jit
+    def ref_state(traj):
+        return jax.vmap(lambda t: traj_eval(t, scfg.t_move, pcfg.duration))(traj)
+
+    @jax.jit
+    def waypoints(q, goal):
+        d = goal - q
+        d = jnp.where(cont[None], _wrap(d), d)
+        n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+        return q + d / jnp.where(n > 1e-9, n, 1.0)
+
+    # per-world true params
+    kt = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+    rng = scfg.uncertain_mass_range
+    tp = TrueParams(
+        mass_scale=jax.vmap(
+            lambda k: jax.random.uniform(k, (spec.n_joints,), dtype, rng[0], rng[1])
+        )(kt[:, 0]),
+        inertia_scale=jax.vmap(
+            lambda k: jax.random.uniform(k, (spec.n_joints,), dtype, rng[0], rng[1])
+        )(kt[:, 1]),
+    )
+    loop_keys = kt[:, 2]
+
+    q = jnp.asarray(starts, dtype)
+    qd = jnp.zeros((B, nf), dtype)
+    traj = TrajParams(
+        q0=q, qd0=jnp.zeros((B, nf), dtype), qdd0=jnp.zeros((B, nf), dtype),
+        k_actual=jnp.zeros((B, nf), dtype),
+        t_offset=jnp.full((B,), pcfg.duration, dtype),
+    )
+    k_prev = jnp.zeros((B, nf), dtype)
+    done = np.zeros(B, bool)
+    fails = np.zeros(B, np.int32)
+    summ = {k: np.zeros(B, bool) for k in
+            ("goal_reached", "collision", "torque_violation",
+             "joint_limit_violation", "ultimate_bound_violation", "stopped")}
+    iters = np.zeros(B, np.int32)
+    n_feas = np.zeros(B, np.int32)
+
+    for it in range(scfg.max_iterations):
+        if done.all():
+            break
+        q0p, qd0p, qdd0p = ref_state(traj)
+        q_des = waypoints(q, jnp.asarray(goals, dtype))
+        loop_keys = jax.vmap(lambda k: jax.random.split(k)[0])(loop_keys)
+        probs = build_map(q0p, qd0p, qdd0p, zonos, masks)
+        plan = solve_vmap(probs, q_des, loop_keys, k_prev)
+
+        feas = np.asarray(plan.feasible)
+        k_new = jnp.nan_to_num(plan.k)
+        new_traj = TrajParams(q0=q0p, qd0=qd0p, qdd0=qdd0p,
+                              k_actual=k_new * probs.k_range,
+                              t_offset=jnp.zeros((B,), dtype))
+        cont_traj = traj._replace(t_offset=traj.t_offset + scfg.t_move)
+        sel = plan.feasible
+        traj = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(sel.reshape((B,) + (1,) * (a.ndim - 1)), a, b),
+            new_traj, cont_traj,
+        )
+        k_prev = k_new
+
+        q, qd, col, tor, jl, ubv, reached = roll_and_check(
+            q, qd, traj, tp, jnp.asarray(goals, dtype), zonos, masks
+        )
+
+        active = ~done
+        for name, arr in (
+            ("collision", np.asarray(col)), ("torque_violation", np.asarray(tor)),
+            ("joint_limit_violation", np.asarray(jl)),
+            ("ultimate_bound_violation", np.asarray(ubv)),
+            ("goal_reached", np.asarray(reached)),
+        ):
+            summ[name] |= active & arr
+        fails = np.where(feas, 0, fails + 1) * active
+        stopped = fails >= scfg.stop_threshold
+        summ["stopped"] |= active & stopped
+        iters += active
+        n_feas += active & feas
+        done |= np.asarray(reached) | np.asarray(col) | stopped
+        if verbose:
+            print(f"iter {it}: active={int(active.sum())} "
+                  f"goals={int(summ['goal_reached'].sum())}")
+
+    return EpisodeSummary(
+        goal_reached=jnp.asarray(summ["goal_reached"]),
+        collision=jnp.asarray(summ["collision"]),
+        torque_violation=jnp.asarray(summ["torque_violation"]),
+        joint_limit_violation=jnp.asarray(summ["joint_limit_violation"]),
+        ultimate_bound_violation=jnp.asarray(summ["ultimate_bound_violation"]),
+        stopped=jnp.asarray(summ["stopped"]),
+        iterations=jnp.asarray(iters),
+        n_feasible_plans=jnp.asarray(n_feas),
+    )

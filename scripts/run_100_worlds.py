@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--time-steps", type=int, default=128)
     ap.add_argument("--max-iterations", type=int, default=50)
     ap.add_argument("--traj-type", default="bernstein", choices=["bernstein", "orig"])
+    ap.add_argument("--driver", default="stepped", choices=["stepped", "scan"],
+                    help="stepped = host-driven per-iteration jits (fast compile); "
+                         "scan = one fused program per batch")
     ap.add_argument("--f64", action="store_true", help="run in float64 (CPU)")
     ap.add_argument("--out", default="", help="write JSON summary here")
     args = ap.parse_args()
@@ -41,7 +44,7 @@ def main():
 
     from armour_tpu.config import PlannerConfig, SimConfig
     from armour_tpu.robots.kinova import kinova_gen3_spec
-    from armour_tpu.sim.harness import EpisodeRunner
+    from armour_tpu.sim.harness import EpisodeRunner, run_batch_stepped
     from armour_tpu.sim.scenarios import load_world_csv, stack_worlds
     from armour_tpu.utils.summary import format_summary, summarize_episodes
 
@@ -64,9 +67,15 @@ def main():
     t0 = time.perf_counter()
     for i in range(0, len(worlds), B):
         sl = slice(i, min(i + B, len(worlds)))
-        s = jax.block_until_ready(
-            runner.run_batch(starts[sl], goals[sl], zonos[sl], masks[sl], keys[sl])
-        )
+        if args.driver == "stepped":
+            s = run_batch_stepped(
+                runner, starts[sl], goals[sl], zonos[sl], masks[sl], keys[sl],
+                verbose=True,
+            )
+        else:
+            s = jax.block_until_ready(
+                runner.run_batch(starts[sl], goals[sl], zonos[sl], masks[sl], keys[sl])
+            )
         outs.append(s)
         print(f"  batch {i // B}: {int(np.sum(np.asarray(s.goal_reached)))} goals reached")
     wall = time.perf_counter() - t0

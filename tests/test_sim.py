@@ -155,3 +155,33 @@ def test_episode_reaches_goal_open_world():
     assert not bool(s.torque_violation)
     assert not bool(s.ultimate_bound_violation)
     assert bool(s.success)
+
+
+def test_run_batch_stepped_matches_flags():
+    """Host-stepped batched driver reaches the same outcomes as a single
+    recorded episode on an open world."""
+    from armour_tpu.sim.harness import run_batch_stepped
+    import jax
+
+    pcfg = PlannerConfig(num_time_steps=8, max_obstacles=4,
+                         nlp_num_starts=2, nlp_outer_iters=6, nlp_inner_iters=6)
+    scfg = SimConfig(t_move=0.5, plant_dt=2e-3, check_dt=0.01,
+                     max_iterations=6, goal_radius=np.pi / 30)
+    runner = EpisodeRunner(SPEC, pcfg, scfg)
+    start = jnp.asarray([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    goal = start + 2.5 * pcfg.k_range
+    obstacles = ObstacleSet.from_boxes(
+        np.array([[5.0, 5.0, 5.0]]), np.array([[0.1, 0.1, 0.1]]), pcfg.max_obstacles
+    )
+    B = 2
+    s = run_batch_stepped(
+        runner,
+        jnp.tile(start, (B, 1)),
+        jnp.tile(goal, (B, 1)),
+        jnp.tile(obstacles.zonos[None], (B, 1, 1, 1)),
+        jnp.tile(obstacles.mask[None], (B, 1)),
+        jax.random.split(jax.random.PRNGKey(0), B),
+    )
+    assert bool(np.all(np.asarray(s.goal_reached))), s
+    assert not bool(np.any(np.asarray(s.collision)))
+    assert not bool(np.any(np.asarray(s.ultimate_bound_violation)))
