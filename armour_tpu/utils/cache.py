@@ -1,0 +1,21 @@
+"""Persistent XLA compilation cache setup.
+
+The deployment TPU uses a remote compile service with high and variable
+latency; caching compiled executables under JAX_CACHE_DIR (default
+/tmp/jax_cache) makes every program's second run instant.  Call before the
+first jax operation.
+"""
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None):
+    import jax
+
+    cache_dir = path or os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass

@@ -23,6 +23,10 @@ def main():
 
     import jax
 
+    from armour_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

@@ -27,6 +27,10 @@ def main():
 
     import jax
 
+    from armour_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.virtual:
         jax.config.update("jax_num_cpu_devices", args.virtual)
     import jax.numpy as jnp

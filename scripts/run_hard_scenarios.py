@@ -19,6 +19,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from armour_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
