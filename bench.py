@@ -23,6 +23,16 @@ import numpy as np
 
 
 def _problem_set(cfg, B):
+    """Random planning problems with obstacles rejection-sampled to be
+    clear of the arm's start volume (matching the world-suite generator) —
+    otherwise many problems are trivially infeasible at t=0."""
+    import jax.numpy as jnp
+
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+    from armour_tpu.sim.world import arm_collision_check
+    from armour_tpu.collision.zonotope import ObstacleSet
+
+    spec = kinova_gen3_spec()
     rng = np.random.default_rng(0)
     q0 = np.tile([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0], (B, 1))
     q0 += rng.uniform(-0.3, 0.3, (B, 7))
@@ -32,12 +42,22 @@ def _problem_set(cfg, B):
     n_obs = 8
     zonos = np.zeros((B, cfg.max_obstacles, 4, 3))
     for b in range(B):
-        centers = rng.uniform(-0.8, 0.8, (n_obs, 3))
-        centers[:, 2] = np.abs(centers[:, 2]) + 0.2
-        sides = rng.uniform(0.05, 0.3, (n_obs, 3))
-        zonos[b, :n_obs, 0] = centers
-        for i in range(3):
-            zonos[b, :n_obs, 1 + i, i] = sides[:, i] * 0.5
+        kept = 0
+        for _ in range(200):
+            if kept >= n_obs:
+                break
+            c = rng.uniform(-0.85, 0.85, 3)
+            c[2] = abs(c[2]) + 0.1
+            s_ = rng.uniform(0.05, 0.3, 3)
+            obs = ObstacleSet.from_boxes(
+                c[None], (s_ + 0.1)[None], 1, jnp.float32)
+            if bool(arm_collision_check(spec, jnp.asarray(q0[b], jnp.float32),
+                                        obs)):
+                continue
+            zonos[b, kept, 0] = c
+            for i in range(3):
+                zonos[b, kept, 1 + i, i] = s_[i] * 0.5
+            kept += 1
     masks = np.zeros((B, cfg.max_obstacles), bool)
     masks[:, :n_obs] = True
     return q0, qd0, qdd0, q_des, zonos, masks
