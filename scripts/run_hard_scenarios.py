@@ -32,7 +32,7 @@ def main():
 
     from armour_tpu.config import PlannerConfig, SimConfig
     from armour_tpu.robots.kinova import kinova_gen3_spec
-    from armour_tpu.sim.harness import EpisodeRunner
+    from armour_tpu.sim.harness import EpisodeRunner, run_batch_stepped
     from armour_tpu.sim.scenarios import hard_scenario, stack_worlds
 
     spec = kinova_gen3_spec()
@@ -44,7 +44,7 @@ def main():
     worlds = [hard_scenario(i, pcfg.max_obstacles, dtype) for i in args.scenarios]
     starts, goals, zonos, masks = stack_worlds(worlds, dtype)
     keys = jax.random.split(jax.random.PRNGKey(0), len(worlds))
-    s = jax.block_until_ready(runner.run_batch(starts, goals, zonos, masks, keys))
+    s = run_batch_stepped(runner, starts, goals, zonos, masks, keys)
 
     names = {1: "table", 2: "doorway", 3: "posts", 4: "shelves",
              5: "inside box", 6: "sink->cupboard", 7: "window"}
