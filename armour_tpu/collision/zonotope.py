@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -163,3 +164,53 @@ def collision_constraint_values(
     g = -jnp.max(both, axis=0)                               # (L, O, T)
     g = jnp.where(hp.obs_mask[None, :, None], g, -1e3)
     return jnp.transpose(g, (2, 0, 1))                       # (T, L, O)
+
+
+def collision_constraints_with_jac(
+    hp: BufferedHyperplanes,
+    link_centers: jnp.ndarray,   # (T, L, 3) k-sliced link centers
+    dlink_centers: jnp.ndarray,  # (n, T, L, 3) d centers / d k
+):
+    """Constraint values AND their k-Jacobian in ONE pass over the bank.
+
+    g is a max of functions affine in the link center, so its exact gradient
+    is the argmax hyperplane's (signed) normal contracted with dcenters/dk —
+    the reference's `max_id` trick (`CollisionChecking.cu:263-297`), here
+    applied so the (P, L, O, T) tensors are streamed from HBM once per
+    Gauss-Newton iteration instead of once per autodiff tangent (8x traffic
+    on the NLP's dominant term).
+
+    Returns (g: (T, L, O), J: (T, L, O, n)).  At ties the argmax branch's
+    gradient is used (matches `jnp.max` autodiff up to tie-breaking).
+    """
+    n = dlink_centers.shape[0]
+    c_clt = jnp.transpose(link_centers, (2, 1, 0))          # (3, L, T)
+    Ac = (
+        hp.A[:, 0] * c_clt[0][:, None, :]
+        + hp.A[:, 1] * c_clt[1][:, None, :]
+        + hp.A[:, 2] * c_clt[2][:, None, :]
+    )                                                        # (P, L, O, T)
+    pos = Ac - (hp.d + hp.delta)
+    neg = -Ac - (-hp.d + hp.delta)
+    use_pos = pos >= neg
+    both = jnp.where(hp.valid, jnp.maximum(pos, neg), _EXCLUDED)
+    best = jnp.argmax(both, axis=0)                          # (L, O, T)
+    g = -jnp.max(both, axis=0)
+    g = jnp.where(hp.obs_mask[None, :, None], g, -1e3)
+
+    # dg/dcenter = -sign * A[argmax]; one-hot contraction (the argmax gather
+    # as a reduction — take_along_axis over the big tensor kernel-faults on
+    # TPU, and this form fuses with the Ac pass above)
+    pids = jax.lax.broadcasted_iota(jnp.int32, both.shape, 0)
+    w = jnp.where(
+        (pids == best[None]) & hp.valid,
+        jnp.where(use_pos, -1.0, 1.0).astype(Ac.dtype),
+        0.0,
+    )                                                        # (P, L, O, T)
+    A_sel = jnp.stack(
+        [jnp.sum(w * hp.A[:, c], axis=0) for c in range(3)]
+    )                                                        # (3, L, O, T)
+    A_sel = A_sel * hp.obs_mask[None, None, :, None]         # dead slots: J=0
+    dc_nclt = jnp.transpose(dlink_centers, (0, 3, 2, 1))     # (n, 3, L, T)
+    J = jnp.einsum("clot,nclt->nlot", A_sel, dc_nclt)        # (n, L, O, T)
+    return jnp.transpose(g, (2, 0, 1)), jnp.transpose(J, (3, 1, 2, 0))

@@ -20,6 +20,7 @@ from armour_tpu.collision.zonotope import (
     ObstacleSet,
     buffer_obstacles,
     collision_constraint_values,
+    collision_constraints_with_jac,
 )
 from armour_tpu.config import PlannerConfig
 from armour_tpu.dynamics.pz_rnea import build_reachable_sets
@@ -239,6 +240,53 @@ class ArmourPlanner:
             def c_fn(k):
                 return jnp.concatenate(list(blocks(k).values()))
 
+            def pv_fn(k):
+                """Position/velocity-limit block (tiny closed forms)."""
+                if armtd:
+                    mn, mx = armtd_position_extrema(shim, k)
+                    vn, vx = armtd_velocity_extrema(shim, k)
+                else:
+                    mn, mx = joint_position_extrema(shim, k)
+                    vn, vx = joint_velocity_extrema(shim, k)
+                return jnp.concatenate(
+                    [
+                        pos_lb - mn, mn - pos_ub, pos_lb - mx, mx - pos_ub,
+                        vel_lb - vn, vn - vel_ub, vel_lb - vx, vx - vel_ub,
+                    ]
+                )
+
+            def cj_fn(k):
+                """(c, J) in one fused pass, same constraint order as c_fn.
+
+                The collision Jacobian uses the argmax-select identity
+                (`CollisionChecking.cu:263-297`); torque/grasp Jacobians come
+                from the packed PZ monomial basis; position/velocity limits
+                are closed forms cheap enough for plain forward autodiff.
+                """
+                vals, jacs = [], []
+                if prob.u is not None:
+                    u_c, _, du = prob.u.slice_with_jac(k)     # (T,nf),(n,T,nf)
+                    Ju = du.reshape(du.shape[0], -1).T        # (T*nf, n)
+                    vals.append((u_c - (t_lim - prob.t_rad)).ravel())
+                    jacs.append(Ju)
+                    vals.append(((-t_lim + prob.t_rad) - u_c).ravel())
+                    jacs.append(-Ju)
+                if prob.grasp is not None:
+                    gc, gr, dgc = prob.grasp.slice_with_jac(k)
+                    vals.append((gc + gr).ravel())
+                    jacs.append(dgc.reshape(dgc.shape[0], -1).T)
+                centers, _, dcenters = prob.links.slice_with_jac(k)
+                g, Jg = collision_constraints_with_jac(prob.hp, centers, dcenters)
+                if collision_axis is not None:
+                    g = jax.lax.all_gather(g, collision_axis)
+                    Jg = jax.lax.all_gather(Jg, collision_axis)
+                vals.append(g.ravel())
+                jacs.append(Jg.reshape(-1, Jg.shape[-1]))
+                pv, Jpv = pv_fn(k), jax.jacfwd(pv_fn)(k)
+                vals.append(pv)
+                jacs.append(Jpv)
+                return jnp.concatenate(vals), jnp.concatenate(jacs, axis=0)
+
             def f_fn(k):
                 if armtd:
                     q_plan, _, _ = armtd_ref(prob.q0, prob.qd0, prob.k_range * k,
@@ -268,6 +316,7 @@ class ArmourPlanner:
                     k0,
                     outer_iters=cfg.nlp_outer_iters,
                     inner_iters=cfg.nlp_inner_iters,
+                    cj_fn=cj_fn,
                 )
             )(k0s)
 

@@ -41,30 +41,44 @@ def solve_box_alm(
     mu_max: float = 1e6,
     newton_reg: float = 1e-8,
     ls_steps: int = 4,
+    cj_fn: Callable | None = None,
 ) -> ALMResult:
     """Single-problem ALM; vmap over starts/problems externally.
 
     f_fn: k -> scalar cost; c_fn: k -> (m,) constraints (feasible iff <= 0).
+
+    ``cj_fn``: optional k -> (c, J) returning values AND the (m, n) Jacobian
+    in one fused pass (e.g. the argmax-select collision Jacobian).  When
+    given, each Gauss-Newton iteration makes exactly ONE pass over the
+    constraint bank — the Jacobian tangent sweep disappears and the line
+    search runs on the linearized constraint model (f is evaluated exactly;
+    it's a cheap closed form).  Without it, autodiff tangents + an exact-
+    merit line search are used (13 bank passes per iteration).
     """
     n = k0.shape[0]
     m = c_fn(k0).shape[0]
     dtype = k0.dtype
 
-    def al_value(k, lam, mu):
-        c = c_fn(k)
-        # PHR augmented Lagrangian for inequality constraints
+    def penalty(c, lam, mu):
+        # PHR augmented Lagrangian term for inequality constraints
         a = jnp.maximum(0.0, lam + mu * c)
-        return f_fn(k) + jnp.sum(a * a - lam * lam) / (2.0 * mu)
+        return jnp.sum(a * a - lam * lam) / (2.0 * mu)
+
+    def al_value(k, lam, mu):
+        return f_fn(k) + penalty(c_fn(k), lam, mu)
 
     def inner_step(carry, _):
         k, lam, mu = carry
-        c, jvp = jax.linearize(c_fn, k)
-        # sequential tangent sweep (lax.map, NOT vmap): the constraint
-        # pipeline's (T x L x obstacles x hyperplanes) intermediates are
-        # large, and vmapping 7 tangents would multiply the peak HBM
-        # footprint 7x (observed OOM at production sizes)
-        J = jax.lax.map(jvp, jnp.eye(n, dtype=dtype))  # (n, m) tangents
-        J = J.T                                        # (m, n)
+        if cj_fn is not None:
+            c, J = cj_fn(k)                            # one bank pass
+        else:
+            c, jvp = jax.linearize(c_fn, k)
+            # sequential tangent sweep (lax.map, NOT vmap): the constraint
+            # pipeline's (T x L x obstacles x hyperplanes) intermediates are
+            # large, and vmapping 7 tangents would multiply the peak HBM
+            # footprint 7x (observed OOM at production sizes)
+            J = jax.lax.map(jvp, jnp.eye(n, dtype=dtype))  # (n, m) tangents
+            J = J.T                                        # (m, n)
         fgrad = jax.grad(f_fn)(k)
         a = jnp.maximum(0.0, lam + mu * c)             # (m,)
         grad = fgrad + J.T @ a
@@ -74,15 +88,28 @@ def solve_box_alm(
         # solve with Levenberg fallback on ill-conditioning
         dk = -jnp.linalg.solve(H + 1e-10 * jnp.eye(n, dtype=dtype), grad)
         # backtracking line search on the AL merit with box projection
-        # (sequential for the same peak-memory reason)
-        phi0 = al_value(k, lam, mu)
+        phi0 = f_fn(k) + penalty(c, lam, mu)
 
-        def try_alpha(alpha):
-            k_new = jnp.clip(k + alpha * dk, -1.0, 1.0)
-            return k_new, al_value(k_new, lam, mu)
+        if cj_fn is not None:
+            # linearized-model merit: c(k+d) ~= c + J d (exact to first
+            # order; the constraint bank is a max of degree<=2 polynomials
+            # over a tiny k-range, so the model error is negligible at line-
+            # search scale) — zero extra bank passes
+            def try_alpha(alpha):
+                k_new = jnp.clip(k + alpha * dk, -1.0, 1.0)
+                c_lin = c + J @ (k_new - k)
+                return k_new, f_fn(k_new) + penalty(c_lin, lam, mu)
 
-        alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
-        k_cands, phis = jax.lax.map(try_alpha, alphas)
+            alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
+            k_cands, phis = jax.vmap(try_alpha)(alphas)
+        else:
+            def try_alpha(alpha):
+                k_new = jnp.clip(k + alpha * dk, -1.0, 1.0)
+                return k_new, al_value(k_new, lam, mu)
+
+            alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
+            # sequential for the same peak-memory reason as the tangents
+            k_cands, phis = jax.lax.map(try_alpha, alphas)
         best = jnp.argmin(phis)
         improved = phis[best] < phi0
         k_next = jnp.where(improved, k_cands[best], k)

@@ -89,11 +89,15 @@ def _constraint_gflops(cfg, plans_per_s):
     """Constraint-bank arithmetic throughput implied by the plan rate
     (BASELINE.json metric: constraint-eval GFLOP/s).  Dominant term: the
     collision signed-distance pipeline over (T x links x obstacles x 36
-    hyperplanes), evaluated ~12x per NLP iteration (primal + 7 tangents +
-    line search) across starts and iterations."""
+    hyperplanes).  Each Gauss-Newton iteration makes one fused value+Jacobian
+    pass (~2 eval-equivalents: signed distances + argmax-select normals);
+    each outer iteration adds one exact violation pass, and each start one
+    verification pass."""
     T, L, O = cfg.num_time_steps, 7, cfg.max_obstacles
     per_eval = T * L * O * 36 * 8  # dot3 + compares + selects, approx flops
-    evals_per_plan = cfg.nlp_num_starts * cfg.nlp_outer_iters * cfg.nlp_inner_iters * 12
+    evals_per_plan = cfg.nlp_num_starts * (
+        cfg.nlp_outer_iters * (cfg.nlp_inner_iters * 2 + 1) + 1
+    )
     return round(per_eval * evals_per_plan * plans_per_s / 1e9, 1)
 
 
@@ -171,13 +175,18 @@ def main():
         return
 
     # orchestrate: each mode runs in a subprocess with a wall-clock budget
-    budget = int(os.environ.get("BENCH_TIMEOUT", "420"))
+    # (batch gets more: its cold-cache compile alone can exceed 420 s; with
+    # the persistent compilation cache warm it comes up in well under 60 s)
+    budgets = {
+        "batch": int(os.environ.get("BENCH_TIMEOUT", "900")),
+        "single": int(os.environ.get("BENCH_TIMEOUT", "420")),
+    }
     for sub_mode in ("batch", "single"):
         env = dict(os.environ, BENCH_MODE=sub_mode)
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=budget, capture_output=True, text=True,
+                env=env, timeout=budgets[sub_mode], capture_output=True, text=True,
             )
             for line in r.stdout.splitlines():
                 if line.startswith("{"):

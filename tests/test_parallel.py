@@ -8,7 +8,7 @@ import sys
 import pytest
 
 
-def _run(code: str, timeout=420):
+def _run(code: str, timeout=900):
     env = dict(os.environ)
     env["PYTHONPATH"] = ""
     env["JAX_PLATFORMS"] = "cpu"

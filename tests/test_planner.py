@@ -136,3 +136,42 @@ def test_plan_batch_vmaps():
     assert np.array(res.feasible).all()
     single = PLANNER.plan(Q_HOME, qd0, np.zeros(7), q_des, worlds[0])
     np.testing.assert_allclose(np.array(res.k[0]), np.array(single.k), atol=1e-6)
+
+
+def test_fused_constraint_jacobian_matches_autodiff(rng):
+    """The one-pass value+Jacobian path (PackedPZ.slice_with_jac +
+    collision_constraints_with_jac, the `max_id` argmax-select identity from
+    `CollisionChecking.cu:263-297`) must agree with plain autodiff through
+    the constraint pipeline."""
+    from armour_tpu.collision.zonotope import (
+        collision_constraint_values,
+        collision_constraints_with_jac,
+    )
+
+    build = PLANNER._make_build_fn()
+    world = ObstacleSet.from_boxes(
+        np.array([[0.4, 0.2, 0.3], [0.1, -0.4, 0.5]]),
+        np.array([[0.1, 0.1, 0.1], [0.2, 0.1, 0.15]]),
+        CFG.max_obstacles,
+    )
+    prob = build(
+        jnp.asarray(Q_HOME), jnp.asarray(rng.uniform(-0.3, 0.3, 7)),
+        jnp.zeros(7), world.zonos, world.mask,
+    )
+    for _ in range(3):
+        k = jnp.asarray(rng.uniform(-0.9, 0.9, 7))
+        centers, _, dcenters = prob.links.slice_with_jac(k)
+        g, J = collision_constraints_with_jac(prob.hp, centers, dcenters)
+
+        def g_of_k(kk):
+            c, _ = prob.links.slice(kk)
+            return collision_constraint_values(prob.hp, c)
+
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_of_k(k)), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(J), np.asarray(jax.jacfwd(g_of_k)(k)), atol=1e-12
+        )
+        # torque PZ slice Jacobian
+        u_c, _, du = prob.u.slice_with_jac(k)
+        du_ref = jnp.moveaxis(jax.jacfwd(lambda kk: prob.u.slice(kk)[0])(k), -1, 0)
+        np.testing.assert_allclose(np.asarray(du), np.asarray(du_ref), atol=1e-12)
