@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: fused collision signed-distance value + k-Jacobian.
+
+The XLA lowering of `collision_constraints_with_jac` streams the hyperplane
+bank from HBM ~2-3x per call (the max/argmax reduce and the one-hot normal
+contraction are separate reductions over the pair axis, and XLA will not
+fuse two reductions over the same large operand into one loop).  This
+kernel is the reference CUDA `checkCollisionKernel`
+(`CollisionChecking.cu:230-299`) re-thought for TPU: one grid program per
+link streams its (36, O, T) slab of the bank through VMEM exactly once,
+keeping the running max AND the argmax hyperplane's signed normal in
+registers, then contracts the normal with dcenters/dk for the Jacobian.
+
+Layouts: every big tensor keeps (O, T) = (40, 128) as the trailing dims —
+native (8, 128) f32 tiles, zero padding.  The pair axis is a static
+36-iteration unroll (the reference's 36 CUDA threads + tree reduction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_PAIR = 36
+
+
+def _fused_kernel(c_ref, dc_ref, A_ref, dpos_ref, dneg_ref, g_ref, J_ref):
+    """One link (grid dim 0): c (3,L,T) and dc (n,3,L,T) are loaded whole
+    (tiny; TPU block constraints disallow blocking their L axis), the bank
+    refs A (P,3,1,O,T), dpos/dneg (P,1,O,T) are per-link blocks
+    -> g (1,O,T), J (n,1,O,T)."""
+    n = dc_ref.shape[0]
+    O, T = dpos_ref.shape[-2:]
+    dtype = A_ref.dtype
+    l = pl.program_id(0)
+
+    c0 = c_ref[0, l, :][None, :]  # (1, T), broadcasts over O
+    c1 = c_ref[1, l, :][None, :]
+    c2 = c_ref[2, l, :][None, :]
+
+    best = jnp.full((O, T), -1e30, dtype)
+    a0 = jnp.zeros((O, T), dtype)
+    a1 = jnp.zeros((O, T), dtype)
+    a2 = jnp.zeros((O, T), dtype)
+    for p in range(N_PAIR):  # static unroll; bank streamed exactly once
+        A0 = A_ref[p, 0, 0]
+        A1 = A_ref[p, 1, 0]
+        A2 = A_ref[p, 2, 0]
+        Ac = A0 * c0 + A1 * c1 + A2 * c2
+        vp = Ac - dpos_ref[p, 0]
+        vn = -Ac - dneg_ref[p, 0]
+        v = jnp.maximum(vp, vn)
+        # dg/dAc at the winner: -1 on the + branch, +1 on the - branch
+        s = jnp.where(vp >= vn, -1.0, 1.0).astype(dtype)
+        upd = v > best  # strict: keep FIRST max, matching jnp.argmax
+        best = jnp.where(upd, v, best)
+        a0 = jnp.where(upd, s * A0, a0)
+        a1 = jnp.where(upd, s * A1, a1)
+        a2 = jnp.where(upd, s * A2, a2)
+    g_ref[0] = -best
+    for i in range(n):
+        d0 = dc_ref[i, 0, l, :][None, :]
+        d1 = dc_ref[i, 1, l, :][None, :]
+        d2 = dc_ref[i, 2, l, :][None, :]
+        J_ref[i, 0] = a0 * d0 + a1 * d1 + a2 * d2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_collision_value_jac(
+    A: jnp.ndarray,        # (P, 3, L, O, T)
+    dpos: jnp.ndarray,     # (P, L, O, T)
+    dneg: jnp.ndarray,     # (P, L, O, T)
+    c_clt: jnp.ndarray,    # (3, L, T) sliced link centers
+    dc_nclt: jnp.ndarray,  # (n, 3, L, T) d centers / dk
+    interpret: bool = False,
+):
+    """Returns (g: (L, O, T), J: (n, L, O, T)); see module docstring."""
+    P, _, L, O, T = A.shape
+    n = dc_nclt.shape[0]
+    dtype = A.dtype
+    grid = (L,)
+    g, J = pl.pallas_call(
+        _fused_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, L, T), lambda l: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 3, L, T), lambda l: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 3, 1, O, T), lambda l: (0, 0, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, O, T), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, O, T), dtype),
+            jax.ShapeDtypeStruct((n, L, O, T), dtype),
+        ],
+        interpret=interpret,
+    )(c_clt, dc_nclt, A, dpos, dneg)
+    return g, J

@@ -72,17 +72,18 @@ class ObstacleSet(NamedTuple):
 class BufferedHyperplanes(NamedTuple):
     """Precomputed H-reps, laid out (pair, [component,] link, obstacle, time).
 
-    A: (36, 3, L, O, T) unit normals (0 for degenerate pairs)
-    d: (36, L, O, T)     A . obstacle_center
-    delta: (36, L, O, T) sum_g |A . gen_g| over the 9 buffered generators
-    valid: (36, L, O, T) normal nonzero & obstacle live
-    obs_mask: (O,)
+    A: (36, 3, L, O, T)    unit normals (0 for degenerate pairs)
+    dpos: (36, L, O, T)    A.obs_center + sum_g |A.gen_g|  (+_EXCLUDED_BOUND
+                           at degenerate/dead slots, so the separation terms
+                           Ac - dpos / -Ac - dneg are hugely negative there
+                           and the valid mask needs no separate tensor)
+    dneg: (36, L, O, T)    -A.obs_center + sum_g |A.gen_g| (same folding)
+    obs_mask: (O,)         live-obstacle mask (dead slots forced feasible)
     """
 
     A: jnp.ndarray
-    d: jnp.ndarray
-    delta: jnp.ndarray
-    valid: jnp.ndarray
+    dpos: jnp.ndarray
+    dneg: jnp.ndarray
     obs_mask: jnp.ndarray
 
 
@@ -130,8 +131,12 @@ def buffer_obstacles(
     d = jnp.einsum("pclot,oc->plot", A, obs_c)
     delta = jnp.sum(jnp.abs(jnp.einsum("pclot,gclot->pglot", A, G)), axis=1) + slack
 
+    # fold the validity mask into the offsets (see BufferedHyperplanes doc)
     valid = valid & obstacles.mask[None, None, :, None]
-    return BufferedHyperplanes(A, d, delta, valid, obstacles.mask)
+    big = jnp.asarray(-_EXCLUDED, dtype)
+    dpos = jnp.where(valid, d + delta, big)
+    dneg = jnp.where(valid, delta - d, big)
+    return BufferedHyperplanes(A, dpos, dneg, obstacles.mask)
 
 
 def collision_constraint_values(
@@ -158,9 +163,7 @@ def collision_constraint_values(
         + hp.A[:, 1] * c_clt[1][:, None, :]
         + hp.A[:, 2] * c_clt[2][:, None, :]
     )                                                        # (P, L, O, T)
-    pos = Ac - (hp.d + hp.delta)
-    neg = -Ac - (-hp.d + hp.delta)
-    both = jnp.where(hp.valid, jnp.maximum(pos, neg), _EXCLUDED)
+    both = jnp.maximum(Ac - hp.dpos, -Ac - hp.dneg)          # (P, L, O, T)
     g = -jnp.max(both, axis=0)                               # (L, O, T)
     g = jnp.where(hp.obs_mask[None, :, None], g, -1e3)
     return jnp.transpose(g, (2, 0, 1))                       # (T, L, O)
@@ -170,6 +173,7 @@ def collision_constraints_with_jac(
     hp: BufferedHyperplanes,
     link_centers: jnp.ndarray,   # (T, L, 3) k-sliced link centers
     dlink_centers: jnp.ndarray,  # (n, T, L, 3) d centers / d k
+    impl: str = "auto",
 ):
     """Constraint values AND their k-Jacobian in ONE pass over the bank.
 
@@ -180,30 +184,50 @@ def collision_constraints_with_jac(
     Gauss-Newton iteration instead of once per autodiff tangent (8x traffic
     on the NLP's dominant term).
 
+    ``impl``: "pallas" uses the single-HBM-pass TPU kernel
+    (collision/pallas_kernel.py), "xla" the pure-jnp pipeline (portable,
+    ~2-3 bank passes), "auto" picks by backend.
+
     Returns (g: (T, L, O), J: (T, L, O, n)).  At ties the argmax branch's
     gradient is used (matches `jnp.max` autodiff up to tie-breaking).
     """
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get(
+            "ARMOUR_COLLISION_IMPL",
+            "pallas" if jax.default_backend() == "tpu" else "xla",
+        )
     n = dlink_centers.shape[0]
     c_clt = jnp.transpose(link_centers, (2, 1, 0))          # (3, L, T)
+    if impl == "pallas":
+        from armour_tpu.collision.pallas_kernel import fused_collision_value_jac
+
+        dc_nclt = jnp.transpose(dlink_centers, (0, 3, 2, 1))  # (n, 3, L, T)
+        g, J = fused_collision_value_jac(hp.A, hp.dpos, hp.dneg, c_clt, dc_nclt)
+        g = jnp.where(hp.obs_mask[None, :, None], g, -1e3)
+        J = J * hp.obs_mask[None, None, :, None]
+        return jnp.transpose(g, (2, 0, 1)), jnp.transpose(J, (3, 1, 2, 0))
     Ac = (
         hp.A[:, 0] * c_clt[0][:, None, :]
         + hp.A[:, 1] * c_clt[1][:, None, :]
         + hp.A[:, 2] * c_clt[2][:, None, :]
     )                                                        # (P, L, O, T)
-    pos = Ac - (hp.d + hp.delta)
-    neg = -Ac - (-hp.d + hp.delta)
+    pos = Ac - hp.dpos
+    neg = -Ac - hp.dneg
     use_pos = pos >= neg
-    both = jnp.where(hp.valid, jnp.maximum(pos, neg), _EXCLUDED)
+    both = jnp.maximum(pos, neg)
     best = jnp.argmax(both, axis=0)                          # (L, O, T)
     g = -jnp.max(both, axis=0)
     g = jnp.where(hp.obs_mask[None, :, None], g, -1e3)
 
     # dg/dcenter = -sign * A[argmax]; one-hot contraction (the argmax gather
     # as a reduction — take_along_axis over the big tensor kernel-faults on
-    # TPU, and this form fuses with the Ac pass above)
+    # TPU, and this form fuses with the Ac pass above).  A is 0 at
+    # degenerate slots, so no validity masking is needed here.
     pids = jax.lax.broadcasted_iota(jnp.int32, both.shape, 0)
     w = jnp.where(
-        (pids == best[None]) & hp.valid,
+        pids == best[None],
         jnp.where(use_pos, -1.0, 1.0).astype(Ac.dtype),
         0.0,
     )                                                        # (P, L, O, T)

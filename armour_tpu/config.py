@@ -51,6 +51,13 @@ class PlannerConfig:
     collision_violation_threshold: float = 1e-4
     torque_violation_threshold: float = 1e-2
 
+    # joint position/velocity extremum acceptance threshold.  The limits
+    # used in the NLP are already tightened by the tracking-error padding
+    # qe/qde (~2.6e-3 rad), so accepting an extremum 1e-5 past the padded
+    # limit is physically negligible and absorbs f32 closed-form roundoff
+    # (a 1e-9 threshold spuriously rejected boundary-active plans).
+    state_violation_threshold: float = 1e-5
+
     # cost scale (Parameters.h:44)
     cost_scale: float = 10.0
 

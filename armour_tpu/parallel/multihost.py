@@ -1,0 +1,73 @@
+"""Multi-host scale-out: the scenario farm over DCN (SURVEY.md §7 step 9).
+
+The reference is strictly single-node; its closest analog of "multi-host"
+is running independent MATLAB instances by hand.  Here a pod slice (or any
+set of hosts) runs ONE logical planner program:
+
+- `init_distributed` wires up `jax.distributed` (coordinator over DCN).
+- `global_planner_mesh` builds the (dp, cp) mesh over ALL devices of all
+  processes; dp (worlds) is laid out with hosts outermost, so world batches
+  shard across hosts over DCN while each problem's cp all-gather stays on
+  the host-local ICI ring — collectives ride ICI, DCN only carries the
+  embarrassingly-parallel world axis and the final metric aggregation.
+- `scatter_worlds` / `gather_summary` move host-local world shards into a
+  global array and aggregate per-episode flags back to every host.
+
+Tested via JAX's standard multiprocess simulation: N CPU processes, each
+with M virtual devices (tests/test_multihost.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import multihost_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Initialize the multi-host runtime (no-op when single-process).
+
+    On TPU pods with standard env vars all args are auto-detected; for
+    manual/simulated clusters pass coordinator "host:port", the process
+    count, and this process's id.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count(), jax.process_index()
+
+
+def global_planner_mesh(cp_size: int = 1) -> Mesh:
+    """(dp, cp) mesh over every device of every process, hosts outermost in
+    dp so cp collectives stay intra-host (ICI, not DCN)."""
+    devs = np.array(jax.devices())  # global, ordered process-major
+    n = devs.size
+    assert n % cp_size == 0
+    return Mesh(devs.reshape(n // cp_size, cp_size), axis_names=("dp", "cp"))
+
+
+def scatter_worlds(mesh: Mesh, *host_local_arrays):
+    """Lift per-process world shards (equal leading-axis chunks of the
+    global batch) into global arrays sharded over dp."""
+    return tuple(
+        multihost_utils.host_local_array_to_global_array(a, mesh, P("dp"))
+        for a in host_local_arrays
+    )
+
+
+def gather_summary(tree):
+    """All-gather per-episode outcome leaves to every host (DCN); returns
+    host-local numpy arrays for tallying."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(multihost_utils.process_allgather(x, tiled=True)),
+        tree,
+    )

@@ -320,30 +320,46 @@ class ArmourPlanner:
                 )
             )(k0s)
 
-            # strict re-verification of every candidate
-            # (finalize_solution port, NLPclass.cu:446-538)
+            # strict re-verification (finalize_solution port,
+            # NLPclass.cu:446-538) over a candidate pool: each start's final
+            # iterate AND its lowest-cost strictly-feasible iterate, plus the
+            # k = 0 / warm starts themselves (k = 0 realizes the guaranteed
+            # braking maneuver, so a safely-parked arm always has a valid
+            # plan — matching Ipopt's behavior of returning the feasible
+            # incumbent when the cost pulls into a constraint boundary).
             def verify(k):
                 b = blocks(k)
                 ok = jnp.asarray(True)
+                viol = jnp.asarray(-jnp.inf, dtype)
                 if prob.u is not None:
-                    ok &= jnp.max(b["torque"]) <= cfg.torque_violation_threshold
-                ok &= jnp.max(b["collision"]) <= cfg.collision_violation_threshold
+                    tv = jnp.max(b["torque"])
+                    ok &= tv <= cfg.torque_violation_threshold
+                    viol = jnp.maximum(viol, tv)
+                cv = jnp.max(b["collision"])
+                ok &= cv <= cfg.collision_violation_threshold
+                viol = jnp.maximum(viol, cv)
                 if prob.grasp is not None:
-                    ok &= jnp.max(b["grasp"]) <= 1e-6
-                ok &= jnp.max(b["position"]) <= 1e-9
-                ok &= jnp.max(b["velocity"]) <= 1e-9
-                return ok
+                    gv = jnp.max(b["grasp"])
+                    ok &= gv <= 1e-6
+                    viol = jnp.maximum(viol, gv)
+                pv = jnp.max(b["position"])
+                vv = jnp.max(b["velocity"])
+                ok &= pv <= cfg.state_violation_threshold
+                ok &= vv <= cfg.state_violation_threshold
+                viol = jnp.maximum(viol, jnp.maximum(pv, vv))
+                return ok, viol
 
-            feas = jax.vmap(verify)(sol.k)
-            costs = jnp.where(feas, sol.cost, jnp.inf)
+            pool = jnp.concatenate([sol.k, sol.k_feas, k0s[:2]])
+            feas, viols = jax.vmap(verify)(pool)
+            costs = jnp.where(feas, jax.vmap(f_fn)(pool), jnp.inf)
             best = jnp.argmin(costs)
             feasible = feas[best]
-            k_best = sol.k[best]
+            k_best = pool[best]
             return PlanResult(
                 k=jnp.where(feasible, k_best, jnp.nan),
                 feasible=feasible,
-                cost=sol.cost[best] / cfg.cost_scale,
-                max_violation=sol.max_violation[best],
+                cost=costs[best] / cfg.cost_scale,
+                max_violation=viols[best],
                 torque_radius=prob.t_rad,
             )
 

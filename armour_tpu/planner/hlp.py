@@ -10,9 +10,12 @@ Rebuild of `simulator/planners/high_level_planners/`:
   the in-graph analog of the reference's sampling HLPs for cluttered
   scenes.
 - ``rrt_waypoints``: host-side configuration-space RRT with batched
-  device collision queries (`RRT_HLP.m` / `RRT_star_HLP.m` equivalent);
-  run once before an episode, its path is then consumed waypoint by
-  waypoint.
+  device collision queries (`RRT_HLP.m` equivalent); run once before an
+  episode, its path is then consumed waypoint by waypoint.
+- ``rrt_star_waypoints``: RRT* with radius rewiring (`RRT_star_HLP.m`).
+- ``rrt_connect_waypoints``: bidirectional trees (`RRT_connect_HLP.m`).
+- ``prm_waypoints``: probabilistic roadmap + Dijkstra (the reference's
+  PRM/dijkstra HLP variants).
 """
 
 from __future__ import annotations
@@ -141,3 +144,222 @@ def rrt_waypoints(
                 return np.asarray(path[::-1])
             n += 1
     return None
+
+
+def _edge_free(check, a: np.ndarray, b: np.ndarray, resolution: float = 0.15):
+    """Batched straight-edge collision check at fixed resolution (the
+    reference buffers RRT* edges the same way,
+    `arm_end_effector_RRT_star_HLP.m`)."""
+    import jax.numpy as _jnp
+
+    a = np.atleast_2d(a)
+    b = np.atleast_2d(b)
+    seg = np.linalg.norm(b - a, axis=-1)
+    n_steps = max(2, int(np.ceil(seg.max() / resolution)) + 1)
+    ts = np.linspace(0.0, 1.0, n_steps)
+    pts = a[:, None, :] + ts[None, :, None] * (b - a)[:, None, :]
+    hits = np.asarray(check(_jnp.asarray(pts.reshape(-1, a.shape[-1]))))
+    return ~hits.reshape(a.shape[0], n_steps).any(axis=1)
+
+
+def rrt_star_waypoints(
+    spec: RobotSpec,
+    start: np.ndarray,
+    goal: np.ndarray,
+    obstacles: ObstacleSet,
+    seed: int = 0,
+    max_nodes: int = 800,
+    step: float = 0.3,
+    goal_bias: float = 0.2,
+    rewire_radius: float = 0.6,
+) -> np.ndarray | None:
+    """Config-space RRT* (`RRT_star_HLP.m`): RRT growth + choose-best-parent
+    + radius rewiring, so the returned path cost is locally optimal."""
+    nf = spec.n_factors
+    rng = np.random.default_rng(seed)
+    lb = np.where(spec.continuous_joints, -np.pi, spec.pos_limits_lb)
+    ub = np.where(spec.continuous_joints, np.pi, spec.pos_limits_ub)
+    check = jax.jit(lambda qs: arm_collision_check(spec, qs, obstacles))
+
+    nodes = np.zeros((max_nodes, nf))
+    parent = np.full(max_nodes, -1, np.int64)
+    cost = np.zeros(max_nodes)
+    nodes[0] = start
+    n = 1
+    goal = np.asarray(goal)
+    goal_idx = -1
+
+    for _ in range(max_nodes * 4):
+        if n >= max_nodes:
+            break
+        target = goal if rng.uniform() < goal_bias else rng.uniform(lb, ub)
+        d = np.linalg.norm(nodes[:n] - target, axis=-1)
+        nearest = int(np.argmin(d))
+        dirv = target - nodes[nearest]
+        nd = np.linalg.norm(dirv)
+        new = nodes[nearest] + step * dirv / max(nd, 1e-9)
+        new = np.clip(new, lb, ub)
+        # candidate parents within the rewire radius
+        dn = np.linalg.norm(nodes[:n] - new, axis=-1)
+        near = np.nonzero(dn < rewire_radius)[0]
+        if near.size == 0:
+            near = np.array([nearest])
+        free = _edge_free(check, nodes[near], np.broadcast_to(new, (near.size, nf)))
+        if not free.any():
+            continue
+        cands = near[free]
+        c_through = cost[cands] + np.linalg.norm(nodes[cands] - new, axis=-1)
+        best = int(np.argmin(c_through))
+        nodes[n] = new
+        parent[n] = cands[best]
+        cost[n] = c_through[best]
+        # rewire: re-parent near nodes through the new node when cheaper
+        improve = cost[cands] > cost[n] + np.linalg.norm(nodes[cands] - new, axis=-1)
+        for j in cands[improve]:
+            parent[j] = n
+            cost[j] = cost[n] + np.linalg.norm(nodes[j] - new)
+        if np.linalg.norm(new - goal) < step and _edge_free(check, new, goal)[0]:
+            goal_idx = n
+        n += 1
+        if goal_idx >= 0:
+            break
+
+    if goal_idx < 0:
+        return None
+    path = [goal, nodes[goal_idx]]
+    p = parent[goal_idx]
+    while p >= 0:
+        path.append(nodes[p])
+        p = parent[p]
+    return np.asarray(path[::-1])
+
+
+def rrt_connect_waypoints(
+    spec: RobotSpec,
+    start: np.ndarray,
+    goal: np.ndarray,
+    obstacles: ObstacleSet,
+    seed: int = 0,
+    max_nodes: int = 1000,
+    step: float = 0.3,
+) -> np.ndarray | None:
+    """Bidirectional RRT (`RRT_connect_HLP.m`): grow trees from start and
+    goal toward each other, greedily extending until they connect."""
+    nf = spec.n_factors
+    rng = np.random.default_rng(seed)
+    lb = np.where(spec.continuous_joints, -np.pi, spec.pos_limits_lb)
+    ub = np.where(spec.continuous_joints, np.pi, spec.pos_limits_ub)
+    check = jax.jit(lambda qs: arm_collision_check(spec, qs, obstacles))
+
+    trees = [
+        {"nodes": [np.asarray(start, float)], "parent": [-1]},
+        {"nodes": [np.asarray(goal, float)], "parent": [-1]},
+    ]
+
+    def extend(tree, target):
+        pts = np.asarray(tree["nodes"])
+        i = int(np.argmin(np.linalg.norm(pts - target, axis=-1)))
+        dirv = target - pts[i]
+        nd = np.linalg.norm(dirv)
+        new = pts[i] + min(step, nd) * dirv / max(nd, 1e-9)
+        new = np.clip(new, lb, ub)
+        if not _edge_free(check, pts[i], new)[0]:
+            return None
+        tree["nodes"].append(new)
+        tree["parent"].append(i)
+        return new
+
+    for it in range(max_nodes):
+        a, b = trees[it % 2], trees[(it + 1) % 2]
+        target = rng.uniform(lb, ub)
+        new = extend(a, target)
+        if new is None:
+            continue
+        # greedy connect from the other tree
+        while True:
+            joined = extend(b, new)
+            if joined is None:
+                break
+            if np.linalg.norm(joined - new) < 1e-9:
+                # trace both halves
+                def trace(tree):
+                    path, p = [], len(tree["nodes"]) - 1
+                    while p >= 0:
+                        path.append(tree["nodes"][p])
+                        p = tree["parent"][p]
+                    return path
+                half_a = trace(a)[::-1]
+                half_b = trace(b)
+                path = half_a + half_b
+                if it % 2 == 1:  # a was the goal tree
+                    path = path[::-1]
+                return np.asarray(path)
+
+    return None
+
+
+def prm_waypoints(
+    spec: RobotSpec,
+    start: np.ndarray,
+    goal: np.ndarray,
+    obstacles: ObstacleSet,
+    seed: int = 0,
+    n_samples: int = 300,
+    k_neighbors: int = 8,
+) -> np.ndarray | None:
+    """Probabilistic roadmap + Dijkstra (the reference's PRM/dijkstra HLP
+    family): sample free configurations, connect k-nearest collision-free
+    edges, shortest-path start -> goal."""
+    import heapq
+
+    nf = spec.n_factors
+    rng = np.random.default_rng(seed)
+    lb = np.where(spec.continuous_joints, -np.pi, spec.pos_limits_lb)
+    ub = np.where(spec.continuous_joints, np.pi, spec.pos_limits_ub)
+    check = jax.jit(lambda qs: arm_collision_check(spec, qs, obstacles))
+
+    samples = rng.uniform(lb, ub, (n_samples, nf))
+    free = ~np.asarray(check(jnp.asarray(samples)))
+    nodes = np.concatenate([[np.asarray(start, float)], [np.asarray(goal, float)],
+                            samples[free]])
+    N = nodes.shape[0]
+    dist = np.linalg.norm(nodes[:, None, :] - nodes[None, :, :], axis=-1)
+    np.fill_diagonal(dist, np.inf)
+    adj: list[list[tuple[int, float]]] = [[] for _ in range(N)]
+    # batched edge validation, k nearest per node
+    pairs = []
+    for i in range(N):
+        for j in np.argsort(dist[i])[:k_neighbors]:
+            if i < j:
+                pairs.append((i, int(j)))
+    pairs = np.asarray(pairs)
+    ok = _edge_free(check, nodes[pairs[:, 0]], nodes[pairs[:, 1]])
+    for (i, j), good in zip(pairs, ok):
+        if good:
+            adj[i].append((j, dist[i, j]))
+            adj[j].append((i, dist[i, j]))
+
+    # Dijkstra start (0) -> goal (1)
+    D = np.full(N, np.inf)
+    prev = np.full(N, -1, np.int64)
+    D[0] = 0.0
+    heap = [(0.0, 0)]
+    while heap:
+        d0, i = heapq.heappop(heap)
+        if d0 > D[i]:
+            continue
+        if i == 1:
+            break
+        for j, w in adj[i]:
+            nd = d0 + w
+            if nd < D[j]:
+                D[j] = nd
+                prev[j] = i
+                heapq.heappush(heap, (nd, j))
+    if not np.isfinite(D[1]):
+        return None
+    path, p = [], 1
+    while p >= 0:
+        path.append(nodes[p])
+        p = prev[p]
+    return np.asarray(path[::-1])

@@ -28,6 +28,8 @@ class ALMResult(NamedTuple):
     k: jnp.ndarray          # (n,) final iterate
     max_violation: jnp.ndarray
     cost: jnp.ndarray
+    k_feas: jnp.ndarray     # (n,) lowest-cost STRICTLY feasible iterate seen
+    found_feas: jnp.ndarray  # bool: k_feas is valid (else == k0)
 
 
 def solve_box_alm(
@@ -116,18 +118,34 @@ def solve_box_alm(
         return (k_next, lam, mu), None
 
     def outer_step(carry, _):
-        k, lam, mu, prev_viol = carry
+        k, lam, mu, prev_viol, k_feas, f_feas, found = carry
         (k, lam, mu), _ = jax.lax.scan(inner_step, (k, lam, mu), None, length=inner_iters)
         c = c_fn(k)
         viol = jnp.max(jnp.maximum(c, 0.0))
+        # keep the lowest-cost STRICTLY feasible iterate seen.  The final
+        # iterate typically converges ONTO an active constraint boundary
+        # (+/- epsilon); when epsilon lands on the infeasible side the strict
+        # post-verification would otherwise discard the whole start even
+        # though the trajectory passed through perfectly good points — the
+        # role Ipopt's feasibility restoration plays in the reference.
+        f_now = f_fn(k)
+        upd = (jnp.max(c) <= 0.0) & (f_now < f_feas)
+        k_feas = jnp.where(upd, k, k_feas)
+        f_feas = jnp.where(upd, f_now, f_feas)
+        found = found | upd
         lam = jnp.maximum(0.0, lam + mu * c)
         # grow the penalty when violation is not shrinking fast enough
         mu = jnp.where(viol > 0.25 * prev_viol, jnp.minimum(mu * mu_growth, mu_max), mu)
-        return (k, lam, mu, viol), None
+        return (k, lam, mu, viol, k_feas, f_feas, found), None
 
     lam0 = jnp.zeros(m, dtype)
     big = jnp.asarray(jnp.inf, dtype)
-    (k, lam, mu, viol), _ = jax.lax.scan(
-        outer_step, (k0, lam0, jnp.asarray(mu0, dtype), big), None, length=outer_iters
+    (k, lam, mu, viol, k_feas, f_feas, found), _ = jax.lax.scan(
+        outer_step,
+        (k0, lam0, jnp.asarray(mu0, dtype), big, k0, big, jnp.asarray(False)),
+        None,
+        length=outer_iters,
     )
-    return ALMResult(k=k, max_violation=viol, cost=f_fn(k))
+    return ALMResult(
+        k=k, max_violation=viol, cost=f_fn(k), k_feas=k_feas, found_feas=found
+    )

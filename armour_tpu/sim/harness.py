@@ -300,6 +300,19 @@ def run_batch_stepped(
         n = jnp.linalg.norm(d, axis=-1, keepdims=True)
         return q + d / jnp.where(n > 1e-9, n, 1.0)
 
+    @jax.jit
+    def clearance_waypoints(q, goal, zonos_b, masks_b, keys_b):
+        """Sampled waypoints for stalled worlds (HLP escalation: the
+        reference swaps the straight-line HLP for sampling/RRT variants in
+        cluttered scenes; here per-world, in-graph)."""
+        from armour_tpu.planner.hlp import clearance_waypoint
+
+        return jax.vmap(
+            lambda q1, g1, z1, m1, k1: clearance_waypoint(
+                spec, q1, g1, ObstacleSet(z1, m1), k1
+            )
+        )(q, goal, zonos_b, masks_b, keys_b)
+
     # per-world true params
     kt = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
     rng = scfg.uncertain_mass_range
@@ -323,6 +336,8 @@ def run_batch_stepped(
     k_prev = jnp.zeros((B, nf), dtype)
     done = np.zeros(B, bool)
     fails = np.zeros(B, np.int32)
+    stall = np.zeros(B, np.int32)
+    q_prev = np.asarray(q)
     summ = {k: np.zeros(B, bool) for k in
             ("goal_reached", "collision", "torque_violation",
              "joint_limit_violation", "ultimate_bound_violation", "stopped")}
@@ -334,6 +349,14 @@ def run_batch_stepped(
             break
         q0p, qd0p, qdd0p = ref_state(traj)
         q_des = waypoints(q, jnp.asarray(goals, dtype))
+        if (stall >= 3).any():
+            # stalled worlds explore sampled waypoints instead of driving
+            # into the same local minimum every replan
+            wp_keys = jax.vmap(lambda k: jax.random.split(k)[1])(loop_keys)
+            q_clear = clearance_waypoints(
+                q, jnp.asarray(goals, dtype), zonos, masks, wp_keys
+            )
+            q_des = jnp.where(jnp.asarray(stall >= 3)[:, None], q_clear, q_des)
         loop_keys = jax.vmap(lambda k: jax.random.split(k)[0])(loop_keys)
         probs = build_map(q0p, qd0p, qdd0p, zonos, masks)
         plan = solve_vmap(probs, q_des, loop_keys, k_prev)
@@ -363,6 +386,10 @@ def run_batch_stepped(
             ("goal_reached", np.asarray(reached)),
         ):
             summ[name] |= active & arr
+        q_np = np.asarray(q)
+        moved = np.linalg.norm(q_np - q_prev, axis=-1) > 5e-3
+        stall = np.where(moved, 0, stall + 1) * active
+        q_prev = q_np
         fails = np.where(feas, 0, fails + 1) * active
         stopped = fails >= scfg.stop_threshold
         summ["stopped"] |= active & stopped

@@ -91,12 +91,13 @@ def _constraint_gflops(cfg, plans_per_s):
     collision signed-distance pipeline over (T x links x obstacles x 36
     hyperplanes).  Each Gauss-Newton iteration makes one fused value+Jacobian
     pass (~2 eval-equivalents: signed distances + argmax-select normals);
-    each outer iteration adds one exact violation pass, and each start one
-    verification pass."""
+    each outer iteration adds one exact violation pass, and the final
+    verification sweeps a pool of 2 candidates per start + 2 fixed starts."""
     T, L, O = cfg.num_time_steps, 7, cfg.max_obstacles
     per_eval = T * L * O * 36 * 8  # dot3 + compares + selects, approx flops
-    evals_per_plan = cfg.nlp_num_starts * (
-        cfg.nlp_outer_iters * (cfg.nlp_inner_iters * 2 + 1) + 1
+    evals_per_plan = (
+        cfg.nlp_num_starts * cfg.nlp_outer_iters * (cfg.nlp_inner_iters * 2 + 1)
+        + 2 * cfg.nlp_num_starts + 2
     )
     return round(per_eval * evals_per_plan * plans_per_s / 1e9, 1)
 

@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--max-worlds", type=int, default=100)
     ap.add_argument("--batch", type=int, default=0, help="worlds per device batch (0 = all)")
     ap.add_argument("--time-steps", type=int, default=128)
-    ap.add_argument("--max-iterations", type=int, default=50)
+    ap.add_argument("--max-iterations", type=int, default=150)
     ap.add_argument("--traj-type", default="bernstein", choices=["bernstein", "orig"])
     ap.add_argument("--driver", default="stepped", choices=["stepped", "scan"],
                     help="stepped = host-driven per-iteration jits (fast compile); "

@@ -122,3 +122,32 @@ def test_recorded_episode_roundtrip(tmp_path):
     assert plot_tracking(loaded, SPEC, tmp_path / "track.png")
     assert plot_torques(loaded, SPEC, tmp_path / "torq.png")
     assert plot_world_topdown(loaded, SPEC, tmp_path / "world.png")
+
+
+def test_rrt_star_connect_prm_variants():
+    """RRT*, RRT-connect, and PRM all find start->goal paths around an
+    obstacle; every path endpoint is exact and every returned node is
+    collision-free (the C18 HLP family)."""
+    from armour_tpu.planner.hlp import (
+        prm_waypoints,
+        rrt_connect_waypoints,
+        rrt_star_waypoints,
+    )
+    from armour_tpu.sim.world import arm_collision_check
+
+    # one box near (not engulfing) the straight path
+    obs = ObstacleSet.from_boxes(
+        np.array([[0.45, 0.1, 0.45]]), np.array([[0.15, 0.15, 0.15]]), 4
+    )
+    goal = Q_HOME + np.array([0.7, -0.4, 0.5, 0.3, -0.5, 0.4, 0.6])
+    for fn, kw in (
+        (rrt_star_waypoints, dict(max_nodes=600, step=0.35)),
+        (rrt_connect_waypoints, dict(max_nodes=800, step=0.35)),
+        (prm_waypoints, dict(n_samples=250, k_neighbors=10)),
+    ):
+        path = fn(SPEC, Q_HOME, goal, obs, seed=1, **kw)
+        assert path is not None, fn.__name__
+        np.testing.assert_allclose(path[0], Q_HOME, atol=1e-9)
+        np.testing.assert_allclose(path[-1], goal, atol=1e-9)
+        hits = np.asarray(arm_collision_check(SPEC, jnp.asarray(path), obs))
+        assert not hits.any(), fn.__name__

@@ -1,0 +1,73 @@
+"""Multi-host (N processes over DCN) scenario-farm test via JAX's standard
+multiprocess simulation: 2 CPU processes x 2 virtual devices each run ONE
+logical sharded planning step over a global (dp=2, cp=2) mesh; results must
+match the single-process run bitwise (same seeds, same f64 math)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+_WORKER = """
+import os, sys
+proc_id = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_enable_x64", True)
+from armour_tpu.parallel.multihost import (
+    init_distributed, global_planner_mesh, scatter_worlds, gather_summary)
+init_distributed(coord, nproc, proc_id)
+assert jax.process_count() == nproc
+assert jax.device_count() == 2 * nproc, jax.devices()
+import jax.numpy as jnp, numpy as np
+from armour_tpu.config import PlannerConfig
+from armour_tpu.parallel.mesh import sharded_plan_step
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+spec = kinova_gen3_spec()
+cfg = PlannerConfig(num_time_steps=8, max_obstacles=4, nlp_num_starts=2,
+                    nlp_outer_iters=2, nlp_inner_iters=2)
+mesh = global_planner_mesh(cp_size=2)   # dp=2 (one per host), cp=2 (intra-host)
+step = sharded_plan_step(spec, cfg, mesh, jnp.float64)
+
+B_global, B_local = 2, 1
+q0l = jnp.tile(jnp.asarray([0.65,-0.09,-0.48,-1.23,-1.57,-1.07,0.0]), (B_local,1))
+qdl = jnp.zeros((B_local,7)); z = jnp.zeros((B_local, 4, 4, 3))
+z = z.at[:,0,0].set(jnp.asarray([0.4,0.2,0.4])).at[:,0,1:].set(jnp.eye(3)*0.05)
+m = jnp.zeros((B_local,4), bool).at[:,0].set(True)
+keys = jax.random.split(jax.random.PRNGKey(7), B_global)[proc_id*B_local:(proc_id+1)*B_local]
+q_des = q0l + 0.4*cfg.k_range
+
+args = scatter_worlds(mesh, q0l, qdl, qdl, q_des, z, m, keys)
+res = step(*args)
+out = gather_summary({"k": res.k, "feasible": res.feasible})
+if proc_id == 0:
+    assert out["k"].shape == (B_global, 7)
+    assert bool(np.all(out["feasible"])), out
+    # both worlds are identical -> identical plans across hosts
+    np.testing.assert_allclose(out["k"][0], out["k"][1], atol=1e-9)
+    print("MULTIHOST-OK", out["k"][0])
+"""
+
+
+def test_two_process_scenario_farm(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.join(os.path.dirname(__file__), "..")
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", coord],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e[-3000:]
+    assert "MULTIHOST-OK" in outs[0][0]

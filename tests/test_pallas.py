@@ -1,0 +1,55 @@
+"""Pallas TPU kernel parity tests (interpret mode on CPU).
+
+The fused collision value+Jacobian kernel (collision/pallas_kernel.py, the
+TPU re-think of the reference CUDA `checkCollisionKernel`,
+`CollisionChecking.cu:230-299`) must agree with the portable XLA pipeline
+bit-for-bit up to f32 reduction-order roundoff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from armour_tpu.collision.pallas_kernel import fused_collision_value_jac
+from armour_tpu.collision.zonotope import (
+    ObstacleSet,
+    collision_constraints_with_jac,
+)
+from armour_tpu.config import PlannerConfig
+from armour_tpu.planner.armour import ArmourPlanner
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+
+def test_pallas_collision_kernel_matches_xla(rng):
+    spec = kinova_gen3_spec()
+    cfg = PlannerConfig(num_time_steps=16, max_obstacles=8)
+    planner = ArmourPlanner(spec, cfg, dtype=jnp.float32)
+    q0 = jnp.asarray(rng.uniform(-1, 1, 7), jnp.float32)
+    obs = ObstacleSet.from_boxes(
+        [[0.4, 0.2, 0.3], [0.1, -0.4, 0.5], [-0.3, 0.3, 0.6]],
+        [[0.1, 0.1, 0.1], [0.2, 0.1, 0.15], [0.3, 0.2, 0.1]],
+        8,
+        jnp.float32,
+    )
+    prob = planner._make_build_fn()(
+        q0, jnp.zeros(7, jnp.float32), jnp.zeros(7, jnp.float32),
+        obs.zonos, obs.mask,
+    )
+    for _ in range(3):
+        k = jnp.asarray(rng.uniform(-0.9, 0.9, 7), jnp.float32)
+        centers, _, dcenters = prob.links.slice_with_jac(k)
+        g_x, J_x = collision_constraints_with_jac(
+            prob.hp, centers, dcenters, impl="xla"
+        )
+        c_clt = jnp.transpose(centers, (2, 1, 0))
+        dc_nclt = jnp.transpose(dcenters, (0, 3, 2, 1))
+        g_p, J_p = fused_collision_value_jac(
+            prob.hp.A, prob.hp.dpos, prob.hp.dneg, c_clt, dc_nclt,
+            interpret=True,
+        )
+        g_p = jnp.where(prob.hp.obs_mask[None, :, None], g_p, -1e3)
+        J_p = J_p * prob.hp.obs_mask[None, None, :, None]
+        g_p = jnp.transpose(g_p, (2, 0, 1))
+        J_p = jnp.transpose(J_p, (3, 1, 2, 0))
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(J_p), np.asarray(J_x), atol=2e-6)
