@@ -103,3 +103,135 @@ def fused_collision_value_jac(
         interpret=interpret,
     )(c_clt, dc_nclt, A, dpos, dneg)
     return g, J
+
+
+def _fused_kernel_multi(c_ref, dc_ref, A_ref, dpos_ref, dneg_ref, g_ref, J_ref):
+    """Start-batched variant: the bank slab is streamed through VMEM ONCE
+    for ALL S multi-start iterates (the vmapped single-start kernel re-DMAs
+    the same slab per start -> S x the HBM traffic on the NLP's dominant
+    term).  c (S,3,L,T), dc (S,n,3,L,T) -> g (S,1,O,T), J (S,n,1,O,T)."""
+    S, n = dc_ref.shape[0], dc_ref.shape[1]
+    O, T = dpos_ref.shape[-2:]
+    dtype = A_ref.dtype
+    l = pl.program_id(0)
+
+    best = [jnp.full((O, T), -1e30, dtype) for _ in range(S)]
+    a0 = [jnp.zeros((O, T), dtype) for _ in range(S)]
+    a1 = [jnp.zeros((O, T), dtype) for _ in range(S)]
+    a2 = [jnp.zeros((O, T), dtype) for _ in range(S)]
+    for p in range(N_PAIR):
+        A0 = A_ref[p, 0, 0]
+        A1 = A_ref[p, 1, 0]
+        A2 = A_ref[p, 2, 0]
+        Dp = dpos_ref[p, 0]
+        Dn = dneg_ref[p, 0]
+        for s in range(S):
+            Ac = (
+                A0 * c_ref[s, 0, l, :][None, :]
+                + A1 * c_ref[s, 1, l, :][None, :]
+                + A2 * c_ref[s, 2, l, :][None, :]
+            )
+            vp = Ac - Dp
+            vn = -Ac - Dn
+            v = jnp.maximum(vp, vn)
+            sg = jnp.where(vp >= vn, -1.0, 1.0).astype(dtype)
+            upd = v > best[s]
+            best[s] = jnp.where(upd, v, best[s])
+            a0[s] = jnp.where(upd, sg * A0, a0[s])
+            a1[s] = jnp.where(upd, sg * A1, a1[s])
+            a2[s] = jnp.where(upd, sg * A2, a2[s])
+    for s in range(S):
+        g_ref[s, 0] = -best[s]
+        for i in range(n):
+            J_ref[s, i, 0] = (
+                a0[s] * dc_ref[s, i, 0, l, :][None, :]
+                + a1[s] * dc_ref[s, i, 1, l, :][None, :]
+                + a2[s] * dc_ref[s, i, 2, l, :][None, :]
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_collision_value_jac_multi(
+    A: jnp.ndarray,        # (P, 3, L, O, T)
+    dpos: jnp.ndarray,     # (P, L, O, T)
+    dneg: jnp.ndarray,     # (P, L, O, T)
+    c_sclt: jnp.ndarray,   # (S, 3, L, T) sliced link centers per start
+    dc_snclt: jnp.ndarray, # (S, n, 3, L, T) d centers / dk per start
+    interpret: bool = False,
+):
+    """Returns (g: (S, L, O, T), J: (S, n, L, O, T))."""
+    P, _, L, O, T = A.shape
+    S, n = dc_snclt.shape[:2]
+    dtype = A.dtype
+    g, J = pl.pallas_call(
+        _fused_kernel_multi,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((S, 3, L, T), lambda l: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n, 3, L, T), lambda l: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 3, 1, O, T), lambda l: (0, 0, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, n, 1, O, T), lambda l: (0, 0, l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, L, O, T), dtype),
+            jax.ShapeDtypeStruct((S, n, L, O, T), dtype),
+        ],
+        interpret=interpret,
+    )(c_sclt, dc_snclt, A, dpos, dneg)
+    return g, J
+
+
+def _value_kernel_multi(c_ref, A_ref, dpos_ref, dneg_ref, g_ref):
+    """Value-only start-batched kernel (verification pool): one bank pass,
+    no Jacobian output.  c (S,3,L,T) -> g (S,1,O,T)."""
+    S = c_ref.shape[0]
+    O, T = dpos_ref.shape[-2:]
+    dtype = A_ref.dtype
+    l = pl.program_id(0)
+    best = [jnp.full((O, T), -1e30, dtype) for _ in range(S)]
+    for p in range(N_PAIR):
+        A0 = A_ref[p, 0, 0]
+        A1 = A_ref[p, 1, 0]
+        A2 = A_ref[p, 2, 0]
+        Dp = dpos_ref[p, 0]
+        Dn = dneg_ref[p, 0]
+        for s in range(S):
+            Ac = (
+                A0 * c_ref[s, 0, l, :][None, :]
+                + A1 * c_ref[s, 1, l, :][None, :]
+                + A2 * c_ref[s, 2, l, :][None, :]
+            )
+            best[s] = jnp.maximum(best[s], jnp.maximum(Ac - Dp, -Ac - Dn))
+    for s in range(S):
+        g_ref[s, 0] = -best[s]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_collision_values_multi(
+    A: jnp.ndarray,       # (P, 3, L, O, T)
+    dpos: jnp.ndarray,    # (P, L, O, T)
+    dneg: jnp.ndarray,    # (P, L, O, T)
+    c_sclt: jnp.ndarray,  # (S, 3, L, T)
+    interpret: bool = False,
+):
+    """Returns g: (S, L, O, T)."""
+    P, _, L, O, T = A.shape
+    S = c_sclt.shape[0]
+    return pl.pallas_call(
+        _value_kernel_multi,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((S, 3, L, T), lambda l: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 3, 1, O, T), lambda l: (0, 0, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, L, O, T), A.dtype),
+        interpret=interpret,
+    )(c_sclt, A, dpos, dneg)

@@ -238,3 +238,65 @@ def collision_constraints_with_jac(
     dc_nclt = jnp.transpose(dlink_centers, (0, 3, 2, 1))     # (n, 3, L, T)
     J = jnp.einsum("clot,nclt->nlot", A_sel, dc_nclt)        # (n, L, O, T)
     return jnp.transpose(g, (2, 0, 1)), jnp.transpose(J, (3, 1, 2, 0))
+
+
+def collision_constraints_with_jac_multi(
+    hp: BufferedHyperplanes,
+    link_centers: jnp.ndarray,   # (S, T, L, 3) per-start sliced centers
+    dlink_centers: jnp.ndarray,  # (S, n, T, L, 3)
+    impl: str = "auto",
+):
+    """Start-batched `collision_constraints_with_jac`: the multi-start NLP
+    evaluates all S iterates against the SAME bank, so the Pallas path
+    streams the bank from HBM once for all of them (the vmapped
+    single-start form costs S x the traffic).
+
+    Returns (g: (S, T, L, O), J: (S, T, L, O, n)).
+    """
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get(
+            "ARMOUR_COLLISION_IMPL",
+            "pallas" if jax.default_backend() == "tpu" else "xla",
+        )
+    if impl == "pallas":
+        from armour_tpu.collision.pallas_kernel import (
+            fused_collision_value_jac_multi,
+        )
+
+        c_sclt = jnp.transpose(link_centers, (0, 3, 2, 1))
+        dc_snclt = jnp.transpose(dlink_centers, (0, 1, 4, 3, 2))
+        g, J = fused_collision_value_jac_multi(
+            hp.A, hp.dpos, hp.dneg, c_sclt, dc_snclt
+        )
+        g = jnp.where(hp.obs_mask[None, None, :, None], g, -1e3)
+        J = J * hp.obs_mask[None, None, None, :, None]
+        return jnp.transpose(g, (0, 3, 1, 2)), jnp.transpose(J, (0, 4, 2, 3, 1))
+    return jax.vmap(
+        lambda c, dc: collision_constraints_with_jac(hp, c, dc, impl=impl)
+    )(link_centers, dlink_centers)
+
+
+def collision_values_multi(
+    hp: BufferedHyperplanes,
+    link_centers: jnp.ndarray,  # (S, T, L, 3)
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Start-batched constraint values (one bank pass on the Pallas path);
+    returns (S, T, L, O).  Used by the verification pool."""
+    if impl == "auto":
+        import os
+
+        impl = os.environ.get(
+            "ARMOUR_COLLISION_IMPL",
+            "pallas" if jax.default_backend() == "tpu" else "xla",
+        )
+    if impl == "pallas":
+        from armour_tpu.collision.pallas_kernel import fused_collision_values_multi
+
+        c_sclt = jnp.transpose(link_centers, (0, 3, 2, 1))
+        g = fused_collision_values_multi(hp.A, hp.dpos, hp.dneg, c_sclt)
+        g = jnp.where(hp.obs_mask[None, None, :, None], g, -1e3)
+        return jnp.transpose(g, (0, 3, 1, 2))
+    return jax.vmap(lambda c: collision_constraint_values(hp, c))(link_centers)

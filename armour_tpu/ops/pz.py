@@ -593,6 +593,20 @@ class PackedPZ:
             dc = jnp.zeros((k.shape[0],) + c.shape, c.dtype)
         return c, self.r, dc
 
+    def slice_with_jac_multi(self, K):
+        """Batched slice_with_jac over a (S, n) stack of k's:
+        (centers (S, *shape), radius, dcenters (S, n, *shape))."""
+        S, n = K.shape
+        if not len(self.basis):
+            z = jnp.broadcast_to(self.c, (S,) + self.c.shape)
+            return z, self.r, jnp.zeros((S, n) + self.c.shape, self.c.dtype)
+        M = jax.vmap(self.monomials)(K)                      # (S, NG)
+        dM = jax.vmap(jax.jacfwd(self.monomials))(K)         # (S, NG, n)
+        c = self.c[None] + jnp.tensordot(M, self.G, axes=(1, 0))
+        # contraction over NG: dM (S, NG, n) x G (NG, ...) -> (S, n, ...)
+        dc = jnp.tensordot(jnp.swapaxes(dM, 1, 2), self.G, axes=(2, 0))
+        return c, self.r, dc
+
 
 jax.tree_util.register_pytree_node(
     PackedPZ, PackedPZ.tree_flatten, PackedPZ.tree_unflatten

@@ -19,8 +19,8 @@ import numpy as np
 from armour_tpu.collision.zonotope import (
     ObstacleSet,
     buffer_obstacles,
-    collision_constraint_values,
-    collision_constraints_with_jac,
+    collision_constraints_with_jac_multi,
+    collision_values_multi,
 )
 from armour_tpu.config import PlannerConfig
 from armour_tpu.dynamics.pz_rnea import build_reachable_sets
@@ -36,7 +36,7 @@ from armour_tpu.jrs.bezier import (
     make_bezier_jrs,
     q_des_fn,
 )
-from armour_tpu.planner.nlp import solve_box_alm
+from armour_tpu.planner.nlp import solve_box_alm_multi
 from armour_tpu.robots.spec import RobotSpec
 
 
@@ -205,41 +205,6 @@ class ArmourPlanner:
                 t_plan=cfg.t_plan, t_total=cfg.duration,
             )
 
-            def blocks(k):
-                out = {}
-                if prob.u is not None:
-                    u_c, _ = prob.u.slice(k)              # (T, nf)
-                    out["torque"] = jnp.concatenate(
-                        [
-                            (u_c - (t_lim - prob.t_rad)).ravel(),
-                            ((-t_lim + prob.t_rad) - u_c).ravel(),
-                        ]
-                    )
-                if prob.grasp is not None:
-                    gc, gr = prob.grasp.slice(k)
-                    out["grasp"] = (gc + gr).ravel()
-                centers, _ = prob.links.slice(k)          # (T, L, 3)
-                col = collision_constraint_values(prob.hp, centers)
-                if collision_axis is not None:
-                    col = jax.lax.all_gather(col, collision_axis)
-                out["collision"] = col.ravel()
-                if armtd:
-                    mn, mx = armtd_position_extrema(shim, k)
-                    vn, vx = armtd_velocity_extrema(shim, k)
-                else:
-                    mn, mx = joint_position_extrema(shim, k)
-                    vn, vx = joint_velocity_extrema(shim, k)
-                out["position"] = jnp.concatenate(
-                    [pos_lb - mn, mn - pos_ub, pos_lb - mx, mx - pos_ub]
-                )
-                out["velocity"] = jnp.concatenate(
-                    [vel_lb - vn, vn - vel_ub, vel_lb - vx, vx - vel_ub]
-                )
-                return out
-
-            def c_fn(k):
-                return jnp.concatenate(list(blocks(k).values()))
-
             def pv_fn(k):
                 """Position/velocity-limit block (tiny closed forms)."""
                 if armtd:
@@ -255,37 +220,40 @@ class ArmourPlanner:
                     ]
                 )
 
-            def cj_fn(k):
-                """(c, J) in one fused pass, same constraint order as c_fn.
+            def cj_multi(K):
+                """Start-batched (c, J): K (S, n) -> ((S, m), (S, m, n)) in
+                ONE pass over the constraint bank for ALL starts.
 
                 The collision Jacobian uses the argmax-select identity
                 (`CollisionChecking.cu:263-297`); torque/grasp Jacobians come
                 from the packed PZ monomial basis; position/velocity limits
                 are closed forms cheap enough for plain forward autodiff.
                 """
+                S = K.shape[0]
                 vals, jacs = [], []
                 if prob.u is not None:
-                    u_c, _, du = prob.u.slice_with_jac(k)     # (T,nf),(n,T,nf)
-                    Ju = du.reshape(du.shape[0], -1).T        # (T*nf, n)
-                    vals.append((u_c - (t_lim - prob.t_rad)).ravel())
+                    u_c, _, du = prob.u.slice_with_jac_multi(K)  # (S,T,nf),(S,n,T,nf)
+                    Ju = jnp.swapaxes(du.reshape(S, du.shape[1], -1), 1, 2)
+                    vals.append((u_c - (t_lim - prob.t_rad)).reshape(S, -1))
                     jacs.append(Ju)
-                    vals.append(((-t_lim + prob.t_rad) - u_c).ravel())
+                    vals.append(((-t_lim + prob.t_rad) - u_c).reshape(S, -1))
                     jacs.append(-Ju)
                 if prob.grasp is not None:
-                    gc, gr, dgc = prob.grasp.slice_with_jac(k)
-                    vals.append((gc + gr).ravel())
-                    jacs.append(dgc.reshape(dgc.shape[0], -1).T)
-                centers, _, dcenters = prob.links.slice_with_jac(k)
-                g, Jg = collision_constraints_with_jac(prob.hp, centers, dcenters)
+                    gc, gr, dgc = prob.grasp.slice_with_jac_multi(K)
+                    vals.append((gc + gr).reshape(S, -1))
+                    jacs.append(jnp.swapaxes(dgc.reshape(S, dgc.shape[1], -1), 1, 2))
+                centers, _, dcenters = prob.links.slice_with_jac_multi(K)
+                g, Jg = collision_constraints_with_jac_multi(
+                    prob.hp, centers, dcenters
+                )                                    # (S,T,L,O), (S,T,L,O,n)
                 if collision_axis is not None:
-                    g = jax.lax.all_gather(g, collision_axis)
-                    Jg = jax.lax.all_gather(Jg, collision_axis)
-                vals.append(g.ravel())
-                jacs.append(Jg.reshape(-1, Jg.shape[-1]))
-                pv, Jpv = pv_fn(k), jax.jacfwd(pv_fn)(k)
-                vals.append(pv)
-                jacs.append(Jpv)
-                return jnp.concatenate(vals), jnp.concatenate(jacs, axis=0)
+                    g = jnp.moveaxis(jax.lax.all_gather(g, collision_axis), 0, 1)
+                    Jg = jnp.moveaxis(jax.lax.all_gather(Jg, collision_axis), 0, 1)
+                vals.append(g.reshape(S, -1))
+                jacs.append(Jg.reshape(S, -1, Jg.shape[-1]))
+                vals.append(jax.vmap(pv_fn)(K))
+                jacs.append(jax.vmap(jax.jacfwd(pv_fn))(K))
+                return jnp.concatenate(vals, axis=1), jnp.concatenate(jacs, axis=1)
 
             def f_fn(k):
                 if armtd:
@@ -309,16 +277,13 @@ class ArmourPlanner:
                 [jnp.zeros((1, nf), dtype), k_warm[None], k_rand]
             )
 
-            sol = jax.vmap(
-                lambda k0: solve_box_alm(
-                    f_fn,
-                    c_fn,
-                    k0,
-                    outer_iters=cfg.nlp_outer_iters,
-                    inner_iters=cfg.nlp_inner_iters,
-                    cj_fn=cj_fn,
-                )
-            )(k0s)
+            sol = solve_box_alm_multi(
+                f_fn,
+                cj_multi,
+                k0s,
+                outer_iters=cfg.nlp_outer_iters,
+                inner_iters=cfg.nlp_inner_iters,
+            )
 
             # strict re-verification (finalize_solution port,
             # NLPclass.cu:446-538) over a candidate pool: each start's final
@@ -327,30 +292,39 @@ class ArmourPlanner:
             # braking maneuver, so a safely-parked arm always has a valid
             # plan — matching Ipopt's behavior of returning the feasible
             # incumbent when the cost pulls into a constraint boundary).
-            def verify(k):
-                b = blocks(k)
-                ok = jnp.asarray(True)
-                viol = jnp.asarray(-jnp.inf, dtype)
+            def verify_pool(P):
+                Np = P.shape[0]
+                ok = jnp.ones((Np,), bool)
+                viol = jnp.full((Np,), -jnp.inf, dtype)
                 if prob.u is not None:
-                    tv = jnp.max(b["torque"])
+                    u_c, _, _ = prob.u.slice_with_jac_multi(P)   # (Np, T, nf)
+                    tv = jnp.maximum(
+                        jnp.max((u_c - (t_lim - prob.t_rad)).reshape(Np, -1), axis=1),
+                        jnp.max(((-t_lim + prob.t_rad) - u_c).reshape(Np, -1), axis=1),
+                    )
                     ok &= tv <= cfg.torque_violation_threshold
                     viol = jnp.maximum(viol, tv)
-                cv = jnp.max(b["collision"])
-                ok &= cv <= cfg.collision_violation_threshold
-                viol = jnp.maximum(viol, cv)
                 if prob.grasp is not None:
-                    gv = jnp.max(b["grasp"])
+                    gc, gr, _ = prob.grasp.slice_with_jac_multi(P)
+                    gv = jnp.max((gc + gr).reshape(Np, -1), axis=1)
                     ok &= gv <= 1e-6
                     viol = jnp.maximum(viol, gv)
-                pv = jnp.max(b["position"])
-                vv = jnp.max(b["velocity"])
-                ok &= pv <= cfg.state_violation_threshold
-                ok &= vv <= cfg.state_violation_threshold
-                viol = jnp.maximum(viol, jnp.maximum(pv, vv))
+                centers, _, _ = prob.links.slice_with_jac_multi(P)
+                col = collision_values_multi(prob.hp, centers)   # (Np, T, L, O)
+                if collision_axis is not None:
+                    col = jnp.moveaxis(
+                        jax.lax.all_gather(col, collision_axis), 0, 1
+                    )
+                cv = jnp.max(col.reshape(Np, -1), axis=1)
+                ok &= cv <= cfg.collision_violation_threshold
+                viol = jnp.maximum(viol, cv)
+                sv = jnp.max(jax.vmap(pv_fn)(P), axis=1)
+                ok &= sv <= cfg.state_violation_threshold
+                viol = jnp.maximum(viol, sv)
                 return ok, viol
 
             pool = jnp.concatenate([sol.k, sol.k_feas, k0s[:2]])
-            feas, viols = jax.vmap(verify)(pool)
+            feas, viols = verify_pool(pool)
             costs = jnp.where(feas, jax.vmap(f_fn)(pool), jnp.inf)
             best = jnp.argmin(costs)
             feasible = feas[best]

@@ -149,3 +149,89 @@ def solve_box_alm(
     return ALMResult(
         k=k, max_violation=viol, cost=f_fn(k), k_feas=k_feas, found_feas=found
     )
+
+
+def solve_box_alm_multi(
+    f_fn: Callable,
+    cj_fn_multi: Callable,
+    K0: jnp.ndarray,
+    outer_iters: int = 8,
+    inner_iters: int = 8,
+    mu0: float = 10.0,
+    mu_growth: float = 4.0,
+    mu_max: float = 1e6,
+    newton_reg: float = 1e-8,
+    ls_steps: int = 4,
+) -> ALMResult:
+    """Start-batched ALM: all S starts advance in lockstep so the constraint
+    bank is streamed from HBM ONCE per Gauss-Newton iteration for the whole
+    start set (``cj_fn_multi: (S, n) -> ((S, m), (S, m, n))``, e.g. the
+    start-batched Pallas collision kernel).  Replaces
+    ``vmap(solve_box_alm)`` which costs S x the bank traffic.
+
+    Every returned ALMResult field carries a leading (S,) axis.
+    """
+    S, n = K0.shape
+    dtype = K0.dtype
+    eye_n = jnp.eye(n, dtype=dtype)
+
+    f_b = jax.vmap(f_fn)
+    fgrad_b = jax.vmap(jax.grad(f_fn))
+    fhess_b = jax.vmap(jax.hessian(f_fn))
+
+    def penalty(c, lam, mu):  # (S, m), (S, m), (S,) -> (S,)
+        a = jnp.maximum(0.0, lam + mu[:, None] * c)
+        return jnp.sum(a * a - lam * lam, axis=-1) / (2.0 * mu)
+
+    def inner_step(carry, _):
+        K, lam, mu = carry
+        c, J = cj_fn_multi(K)                         # one bank pass for all S
+        a = jnp.maximum(0.0, lam + mu[:, None] * c)   # (S, m)
+        grad = fgrad_b(K) + jnp.einsum("smn,sm->sn", J, a)
+        active = (a > 0.0).astype(dtype)
+        H = mu[:, None, None] * jnp.einsum("smi,sm,smj->sij", J, active, J)
+        H = H + fhess_b(K) + (newton_reg + 1e-10) * eye_n[None]
+        dk = -jnp.linalg.solve(H, grad[..., None])[..., 0]
+        phi0 = f_b(K) + penalty(c, lam, mu)
+
+        # line search on the linearized constraint model (exact f)
+        alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)  # (A,)
+        K_new = jnp.clip(K[None] + alphas[:, None, None] * dk[None], -1.0, 1.0)
+        dK = K_new - K[None]                               # (A, S, n)
+        c_lin = c[None] + jnp.einsum("smn,asn->asm", J, dK)
+        a_lin = jnp.maximum(0.0, lam[None] + mu[None, :, None] * c_lin)
+        pen = jnp.sum(a_lin * a_lin - (lam * lam)[None], axis=-1) / (2.0 * mu)[None]
+        phis = f_b(K_new.reshape(-1, n)).reshape(ls_steps, S) + pen  # (A, S)
+        best = jnp.argmin(phis, axis=0)                    # (S,)
+        onehot = (jnp.arange(ls_steps)[:, None] == best[None]).astype(dtype)
+        K_best = jnp.einsum("as,asn->sn", onehot, K_new)
+        improved = jnp.min(phis, axis=0) < phi0
+        K_next = jnp.where(improved[:, None], K_best, K)
+        return (K_next, lam, mu), None
+
+    def outer_step(carry, _):
+        K, lam, mu, prev_viol, K_feas, f_feas, found = carry
+        (K, lam, mu), _ = jax.lax.scan(inner_step, (K, lam, mu), None, length=inner_iters)
+        c, _ = cj_fn_multi(K)
+        viol = jnp.max(jnp.maximum(c, 0.0), axis=-1)       # (S,)
+        f_now = f_b(K)
+        upd = (jnp.max(c, axis=-1) <= 0.0) & (f_now < f_feas)
+        K_feas = jnp.where(upd[:, None], K, K_feas)
+        f_feas = jnp.where(upd, f_now, f_feas)
+        found = found | upd
+        lam = jnp.maximum(0.0, lam + mu[:, None] * c)
+        mu = jnp.where(viol > 0.25 * prev_viol, jnp.minimum(mu * mu_growth, mu_max), mu)
+        return (K, lam, mu, viol, K_feas, f_feas, found), None
+
+    m = cj_fn_multi(K0)[0].shape[-1]
+    lam0 = jnp.zeros((S, m), dtype)
+    big = jnp.full((S,), jnp.inf, dtype)
+    (K, lam, mu, viol, K_feas, f_feas, found), _ = jax.lax.scan(
+        outer_step,
+        (K0, lam0, jnp.full((S,), mu0, dtype), big, K0, big,
+         jnp.zeros((S,), bool)),
+        None,
+        length=outer_iters,
+    )
+    return ALMResult(k=K, max_violation=viol, cost=f_b(K), k_feas=K_feas,
+                     found_feas=found)

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Waiter-task / grasp-constraint demo (rebuild of `grasp_simple.m`).
+
+The arm carries an object on a tray-like end-effector surface.  The planner
+adds the contact trio to the NLP — separation, friction cone (u_s = 0.6),
+and tipping/ZMP (surf_rad = 0.029 m), `grasp_simple.m:23-30` — built as
+polynomial zonotopes over k from the end-effector acceleration reachable
+sets, so ANY realized trajectory within tracking error keeps the object
+held.  (The reference exposes the flag but its MATLAB constraint block is
+an empty TODO, `uarmtd_planner.m:543-547`; the C++ grasp variant lives in
+a separate branch.  This implements the constraints directly.)
+
+Run:  python examples/grasp_example.py  (add --f64 on CPU)
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--time-steps", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+
+    from armour_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from armour_tpu.collision.zonotope import ObstacleSet
+    from armour_tpu.config import GraspConfig, PlannerConfig
+    from armour_tpu.dynamics.rnea import forward_kinematics
+    from armour_tpu.jrs.bezier import bezier_ref
+    from armour_tpu.planner.armour import ArmourPlanner
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    spec = kinova_gen3_spec()
+    cfg = PlannerConfig(num_time_steps=args.time_steps, max_obstacles=8)
+    grasp = GraspConfig(object_mass=0.5, u_s=0.6, surf_rad=0.029)
+    planner = ArmourPlanner(spec, cfg, dtype, grasp=grasp)
+
+    # tray-up start pose; a box obstacle to the side
+    q0 = np.array([0.0, -0.5, 0.0, -2.0, 0.0, -0.6, 0.0])
+    obstacles = ObstacleSet.from_boxes(
+        np.array([[0.5, 0.3, 0.4]]), np.array([[0.15, 0.15, 0.15]]),
+        cfg.max_obstacles, dtype,
+    )
+    goal = q0 + np.array([0.6, 0.2, -0.3, 0.4, 0.2, -0.2, 0.5]) * cfg.k_range
+
+    res = planner.plan(q0, np.zeros(7), np.zeros(7), goal, obstacles)
+    print(f"grasp-constrained plan: feasible={bool(res.feasible)} "
+          f"max_violation={float(res.max_violation):.3e}")
+    assert bool(res.feasible), "expected a feasible grasp-constrained plan"
+
+    # report the tray tilt along the realized nominal trajectory
+    k = np.asarray(res.k)
+    for sv in (0.0, 0.25, 0.5, 0.75, 1.0):
+        q, _, _ = bezier_ref(q0, np.zeros(7), np.zeros(7),
+                             cfg.k_range * k, sv, cfg.duration)
+        Rw, _ = forward_kinematics(spec, jnp.asarray(q, dtype))
+        tilt = float(np.degrees(np.arccos(np.clip(np.asarray(Rw)[-1][2, 2], -1, 1))))
+        print(f"  s={sv:.2f}: tray tilt {tilt:5.2f} deg")
+
+    # sanity: the same motion WITHOUT the object-holding requirement
+    free = ArmourPlanner(spec, cfg, dtype)
+    res_free = free.plan(q0, np.zeros(7), np.zeros(7), goal, obstacles)
+    print(f"unconstrained comparison: feasible={bool(res_free.feasible)}")
+
+
+if __name__ == "__main__":
+    main()
