@@ -104,10 +104,28 @@ class ArmourPlanner:
         def _batch(q0, qd0, qdd0, q_des, zonos, masks, keys, k_warm=None):
             if k_warm is None:
                 k_warm = jnp.zeros(q0.shape, self.dtype)
-            probs = self._build_map(q0, qd0, qdd0, zonos, masks)
+            b = self.obstacle_bucket(masks)
+            probs = self._build_map(q0, qd0, qdd0, zonos[:, :b], masks[:, :b])
             return self._solve_vmap(probs, q_des, keys, k_warm)
 
         self.plan_batch = _batch
+
+    def obstacle_bucket(self, masks) -> int:
+        """Smallest static obstacle capacity (multiple of 8, host-decided)
+        covering every live slot of ``masks``.
+
+        The TPU analog of the reference's CUDA launch `grid = (T,
+        num_obstacles)` (`CollisionChecking.cu:107-125`), whose work scales
+        with the REAL obstacle count: the hyperplane bank the NLP streams
+        per Gauss-Newton iteration is (36, 5, L, O, T) floats, the planner's
+        dominant HBM term, so an 8-obstacle world solved at the static
+        40-slot capacity pays 5x the traffic for dead slots.  Each bucket
+        is its own XLA specialization (compile-once, cached); multiples of
+        8 keep the (O, T) tile layout unpadded and cp-shardable."""
+        m = np.asarray(masks)
+        live = m.any(axis=tuple(range(m.ndim - 1)))
+        need = int(np.nonzero(live)[0].max() + 1) if live.any() else 1
+        return min(m.shape[-1], max(8, -(-need // 8) * 8))
 
     def plan(self, q0, qd0, qdd0, q_des, obstacles: ObstacleSet, key=None,
              k_warm=None):
@@ -115,13 +133,14 @@ class ArmourPlanner:
             key = jax.random.PRNGKey(0)
         if k_warm is None:
             k_warm = jnp.zeros(self.spec.n_factors, self.dtype)
+        b = self.obstacle_bucket(obstacles.mask)
         return self._plan(
             jnp.asarray(q0, self.dtype),
             jnp.asarray(qd0, self.dtype),
             jnp.asarray(qdd0, self.dtype),
             jnp.asarray(q_des, self.dtype),
-            obstacles.zonos.astype(self.dtype),
-            obstacles.mask,
+            obstacles.zonos[:b].astype(self.dtype),
+            obstacles.mask[:b],
             key,
             jnp.asarray(k_warm, self.dtype),
         )
@@ -191,6 +210,14 @@ class ArmourPlanner:
         t_lim = jnp.asarray(spec.torque_limits, dtype)
         qe = 0.0 if armtd else spec.qe
         qde = 0.0 if armtd else spec.qde
+        # the relaxed state acceptance threshold (vs the reference's strict
+        # finalize_solution check) is only sound while it stays well inside
+        # the tracking-error padding qe/qde that the limits already carry
+        if not armtd:
+            assert cfg.state_violation_threshold < 0.1 * min(spec.qe, spec.qde), (
+                f"state_violation_threshold={cfg.state_violation_threshold} is "
+                f"not << tracking-error padding qe={spec.qe}, qde={spec.qde}"
+            )
         pos_lb = jnp.asarray(spec.pos_limits_lb + qe, dtype)
         pos_ub = jnp.asarray(spec.pos_limits_ub - qe, dtype)
         vel_lb = jnp.asarray(-spec.speed_limits + qde, dtype)

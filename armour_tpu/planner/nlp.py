@@ -69,18 +69,7 @@ def solve_box_alm(
     def al_value(k, lam, mu):
         return f_fn(k) + penalty(c_fn(k), lam, mu)
 
-    def inner_step(carry, _):
-        k, lam, mu = carry
-        if cj_fn is not None:
-            c, J = cj_fn(k)                            # one bank pass
-        else:
-            c, jvp = jax.linearize(c_fn, k)
-            # sequential tangent sweep (lax.map, NOT vmap): the constraint
-            # pipeline's (T x L x obstacles x hyperplanes) intermediates are
-            # large, and vmapping 7 tangents would multiply the peak HBM
-            # footprint 7x (observed OOM at production sizes)
-            J = jax.lax.map(jvp, jnp.eye(n, dtype=dtype))  # (n, m) tangents
-            J = J.T                                        # (m, n)
+    def _newton_dir(k, c, J, lam, mu):
         fgrad = jax.grad(f_fn)(k)
         a = jnp.maximum(0.0, lam + mu * c)             # (m,)
         grad = fgrad + J.T @ a
@@ -88,30 +77,56 @@ def solve_box_alm(
         H = mu * jnp.einsum("mi,m,mj->ij", J, active, J)
         H = H + jax.hessian(f_fn)(k) + newton_reg * jnp.eye(n, dtype=dtype)
         # solve with Levenberg fallback on ill-conditioning
-        dk = -jnp.linalg.solve(H + 1e-10 * jnp.eye(n, dtype=dtype), grad)
-        # backtracking line search on the AL merit with box projection
+        return -jnp.linalg.solve(H + 1e-10 * jnp.eye(n, dtype=dtype), grad)
+
+    def _jac(k):
+        c, jvp = jax.linearize(c_fn, k)
+        # sequential tangent sweep (lax.map, NOT vmap): the constraint
+        # pipeline's (T x L x obstacles x hyperplanes) intermediates are
+        # large, and vmapping 7 tangents would multiply the peak HBM
+        # footprint 7x (observed OOM at production sizes)
+        J = jax.lax.map(jvp, jnp.eye(n, dtype=dtype))  # (n, m) tangents
+        return c, J.T                                  # (m, n)
+
+    # cj path: ONE bank pass per inner iteration, made at the line-search
+    # CANDIDATE; (c, J) at the current iterate ride the carry and acceptance
+    # is decided on the EXACT merit (the linearized model picks the step
+    # length only — it can under-predict penalty growth)
+    def inner_step_cj(carry, _):
+        k, c, J, lam, mu = carry
+        dk = _newton_dir(k, c, J, lam, mu)
         phi0 = f_fn(k) + penalty(c, lam, mu)
 
-        if cj_fn is not None:
-            # linearized-model merit: c(k+d) ~= c + J d (exact to first
-            # order; the constraint bank is a max of degree<=2 polynomials
-            # over a tiny k-range, so the model error is negligible at line-
-            # search scale) — zero extra bank passes
-            def try_alpha(alpha):
-                k_new = jnp.clip(k + alpha * dk, -1.0, 1.0)
-                c_lin = c + J @ (k_new - k)
-                return k_new, f_fn(k_new) + penalty(c_lin, lam, mu)
+        def try_alpha(alpha):
+            k_new = jnp.clip(k + alpha * dk, -1.0, 1.0)
+            c_lin = c + J @ (k_new - k)
+            return k_new, f_fn(k_new) + penalty(c_lin, lam, mu)
 
-            alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
-            k_cands, phis = jax.vmap(try_alpha)(alphas)
-        else:
-            def try_alpha(alpha):
-                k_new = jnp.clip(k + alpha * dk, -1.0, 1.0)
-                return k_new, al_value(k_new, lam, mu)
+        alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
+        k_cands, phis = jax.vmap(try_alpha)(alphas)
+        k_cand = k_cands[jnp.argmin(phis)]
+        c_cand, J_cand = cj_fn(k_cand)                 # the bank pass
+        phi_cand = f_fn(k_cand) + penalty(c_cand, lam, mu)
+        accept = phi_cand < phi0
+        k = jnp.where(accept, k_cand, k)
+        c = jnp.where(accept, c_cand, c)
+        J = jnp.where(accept, J_cand, J)
+        return (k, c, J, lam, mu), None
 
-            alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
-            # sequential for the same peak-memory reason as the tangents
-            k_cands, phis = jax.lax.map(try_alpha, alphas)
+    def inner_step(carry, _):
+        k, lam, mu = carry
+        c, J = _jac(k)
+        dk = _newton_dir(k, c, J, lam, mu)
+        # backtracking line search on the EXACT AL merit with box projection
+        phi0 = f_fn(k) + penalty(c, lam, mu)
+
+        def try_alpha(alpha):
+            k_new = jnp.clip(k + alpha * dk, -1.0, 1.0)
+            return k_new, al_value(k_new, lam, mu)
+
+        alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
+        # sequential for the same peak-memory reason as the tangents
+        k_cands, phis = jax.lax.map(try_alpha, alphas)
         best = jnp.argmin(phis)
         improved = phis[best] < phi0
         k_next = jnp.where(improved, k_cands[best], k)
@@ -119,8 +134,14 @@ def solve_box_alm(
 
     def outer_step(carry, _):
         k, lam, mu, prev_viol, k_feas, f_feas, found = carry
-        (k, lam, mu), _ = jax.lax.scan(inner_step, (k, lam, mu), None, length=inner_iters)
-        c = c_fn(k)
+        if cj_fn is not None:
+            c0i, J0i = cj_fn(k)
+            (k, c, J, lam, mu), _ = jax.lax.scan(
+                inner_step_cj, (k, c0i, J0i, lam, mu), None, length=inner_iters)
+        else:
+            (k, lam, mu), _ = jax.lax.scan(
+                inner_step, (k, lam, mu), None, length=inner_iters)
+            c = c_fn(k)
         viol = jnp.max(jnp.maximum(c, 0.0))
         # keep the lowest-cost STRICTLY feasible iterate seen.  The final
         # iterate typically converges ONTO an active constraint boundary
@@ -183,9 +204,15 @@ def solve_box_alm_multi(
         a = jnp.maximum(0.0, lam + mu[:, None] * c)
         return jnp.sum(a * a - lam * lam, axis=-1) / (2.0 * mu)
 
+    # Each inner iteration makes exactly ONE bank pass — at the line-search
+    # CANDIDATE.  The (c, J) pair at the current iterate rides the scan
+    # carry, the model line search picks the candidate, and acceptance is
+    # decided on the EXACT augmented-Lagrangian merit at that candidate (the
+    # linearized model can under-predict penalty growth; accepting on the
+    # model alone could take uphill steps).  Rejected candidates leave the
+    # carried iterate untouched.
     def inner_step(carry, _):
-        K, lam, mu = carry
-        c, J = cj_fn_multi(K)                         # one bank pass for all S
+        K, c, J, lam, mu = carry
         a = jnp.maximum(0.0, lam + mu[:, None] * c)   # (S, m)
         grad = fgrad_b(K) + jnp.einsum("smn,sm->sn", J, a)
         active = (a > 0.0).astype(dtype)
@@ -194,7 +221,7 @@ def solve_box_alm_multi(
         dk = -jnp.linalg.solve(H, grad[..., None])[..., 0]
         phi0 = f_b(K) + penalty(c, lam, mu)
 
-        # line search on the linearized constraint model (exact f)
+        # pick the step length on the linearized constraint model (exact f)
         alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)  # (A,)
         K_new = jnp.clip(K[None] + alphas[:, None, None] * dk[None], -1.0, 1.0)
         dK = K_new - K[None]                               # (A, S, n)
@@ -204,15 +231,20 @@ def solve_box_alm_multi(
         phis = f_b(K_new.reshape(-1, n)).reshape(ls_steps, S) + pen  # (A, S)
         best = jnp.argmin(phis, axis=0)                    # (S,)
         onehot = (jnp.arange(ls_steps)[:, None] == best[None]).astype(dtype)
-        K_best = jnp.einsum("as,asn->sn", onehot, K_new)
-        improved = jnp.min(phis, axis=0) < phi0
-        K_next = jnp.where(improved[:, None], K_best, K)
-        return (K_next, lam, mu), None
+        K_cand = jnp.einsum("as,asn->sn", onehot, K_new)
+
+        c_cand, J_cand = cj_fn_multi(K_cand)          # THE bank pass (all S)
+        phi_cand = f_b(K_cand) + penalty(c_cand, lam, mu)
+        accept = phi_cand < phi0                           # exact decrease
+        sel = lambda new, old: jnp.where(
+            accept.reshape((S,) + (1,) * (new.ndim - 1)), new, old)
+        return (sel(K_cand, K), sel(c_cand, c), sel(J_cand, J), lam, mu), None
 
     def outer_step(carry, _):
-        K, lam, mu, prev_viol, K_feas, f_feas, found = carry
-        (K, lam, mu), _ = jax.lax.scan(inner_step, (K, lam, mu), None, length=inner_iters)
-        c, _ = cj_fn_multi(K)
+        K, c, J, lam, mu, prev_viol, K_feas, f_feas, found = carry
+        (K, c, J, lam, mu), _ = jax.lax.scan(
+            inner_step, (K, c, J, lam, mu), None, length=inner_iters)
+        # c is exact at K (carried from the accepted candidate's pass)
         viol = jnp.max(jnp.maximum(c, 0.0), axis=-1)       # (S,)
         f_now = f_b(K)
         upd = (jnp.max(c, axis=-1) <= 0.0) & (f_now < f_feas)
@@ -221,14 +253,15 @@ def solve_box_alm_multi(
         found = found | upd
         lam = jnp.maximum(0.0, lam + mu[:, None] * c)
         mu = jnp.where(viol > 0.25 * prev_viol, jnp.minimum(mu * mu_growth, mu_max), mu)
-        return (K, lam, mu, viol, K_feas, f_feas, found), None
+        return (K, c, J, lam, mu, viol, K_feas, f_feas, found), None
 
-    m = cj_fn_multi(K0)[0].shape[-1]
+    c0, J0 = cj_fn_multi(K0)                               # init bank pass
+    m = c0.shape[-1]
     lam0 = jnp.zeros((S, m), dtype)
     big = jnp.full((S,), jnp.inf, dtype)
-    (K, lam, mu, viol, K_feas, f_feas, found), _ = jax.lax.scan(
+    (K, c, J, lam, mu, viol, K_feas, f_feas, found), _ = jax.lax.scan(
         outer_step,
-        (K0, lam0, jnp.full((S,), mu0, dtype), big, K0, big,
+        (K0, c0, J0, lam0, jnp.full((S,), mu0, dtype), big, K0, big,
          jnp.zeros((S,), bool)),
         None,
         length=outer_iters,

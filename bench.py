@@ -85,19 +85,23 @@ def _setup():
     return jax, jnp, cfg, planner
 
 
-def _constraint_gflops(cfg, plans_per_s):
+def _constraint_gflops(cfg, plans_per_s, n_obs_bucket=8):
     """Constraint-bank arithmetic throughput implied by the plan rate
     (BASELINE.json metric: constraint-eval GFLOP/s).  Dominant term: the
     collision signed-distance pipeline over (T x links x obstacles x 36
-    hyperplanes).  Each Gauss-Newton iteration makes one fused value+Jacobian
-    pass (~2 eval-equivalents: signed distances + argmax-select normals);
-    each outer iteration adds one exact violation pass, and the final
-    verification sweeps a pool of 2 candidates per start + 2 fixed starts."""
-    T, L, O = cfg.num_time_steps, 7, cfg.max_obstacles
+    hyperplanes), at the bucketed obstacle capacity the bench problems
+    actually run (8 live obstacles -> 8-slot bucket).  Each Gauss-Newton
+    iteration makes ONE fused value+Jacobian bank pass at the line-search
+    candidate (~2 eval-equivalents per start: signed distances +
+    argmax-select normals), all S starts in lockstep, plus one init pass
+    per solve and the final verification pool (2 candidates per start + 2
+    fixed starts, value-only)."""
+    T, L, O = cfg.num_time_steps, 7, n_obs_bucket
     per_eval = T * L * O * 36 * 8  # dot3 + compares + selects, approx flops
+    S = cfg.nlp_num_starts
     evals_per_plan = (
-        cfg.nlp_num_starts * cfg.nlp_outer_iters * (cfg.nlp_inner_iters * 2 + 1)
-        + 2 * cfg.nlp_num_starts + 2
+        S * (cfg.nlp_outer_iters * cfg.nlp_inner_iters + 1) * 2
+        + 2 * S + 2
     )
     return round(per_eval * evals_per_plan * plans_per_s / 1e9, 1)
 
@@ -115,7 +119,7 @@ def _emit(plans_per_s, extra):
 
 def run_batch_mode():
     jax, jnp, cfg, planner = _setup()
-    B = int(os.environ.get("BENCH_BATCH", "16"))
+    B = int(os.environ.get("BENCH_BATCH", "128"))
     q0, qd0, qdd0, q_des, zonos, masks = _problem_set(cfg, B)
     args = (
         jnp.asarray(q0, jnp.float32), jnp.asarray(qd0, jnp.float32),
