@@ -127,8 +127,11 @@ def load_stl_triangles(path) -> np.ndarray | None:
 
 
 def oracle_for_spec(spec, mesh_paths=None) -> "MeshOracle":
-    """Build an oracle for a RobotSpec: STL meshes when provided, else the
-    link bounding boxes (then it is the exact-SAT version of the OBB check)."""
+    """Build an oracle for a RobotSpec: STL meshes when provided (default:
+    ``spec.mesh_paths``), else the link bounding boxes (then it is the
+    exact-SAT version of the OBB check)."""
+    if mesh_paths is None:
+        mesh_paths = getattr(spec, "mesh_paths", None)
     meshes = []
     for i in range(spec.n_joints):
         tri = None

@@ -131,4 +131,21 @@ def kinova_gen3_spec() -> RobotSpec:
         m_max_eig=15.79635774,
         m_min_eig=5.095620491878957,
         kr=5.0,
+        mesh_paths=kinova_mesh_paths(),
     )
+
+
+def kinova_mesh_paths() -> tuple | None:
+    """Per-joint collision STL paths (reference `urdfs/kinova_arm/*.STL`,
+    link frames — their bounding boxes reproduce link_zono_center/gen above
+    to ~5e-7).  None when the reference assets are not mounted."""
+    base = "/root/reference/urdfs/kinova_arm"
+    names = (
+        "shoulder_link", "half_arm_1_link", "half_arm_2_link", "forearm_link",
+        "spherical_wrist_1_link", "spherical_wrist_2_link",
+        "bracelet_with_vision_link",
+    )
+    import os
+
+    paths = tuple(f"{base}/{n}.STL" for n in names)
+    return paths if all(os.path.exists(p) for p in paths) else None

@@ -70,6 +70,11 @@ class RobotSpec:
     m_min_eig: float = 1.0
     kr: float = 5.0
 
+    # optional per-joint collision STL paths (link frames), for the exact
+    # mesh-level ground-truth oracle (collision/mesh_oracle.py); None entries
+    # fall back to the link bounding box
+    mesh_paths: tuple | None = None
+
     @property
     def ultimate_bound(self) -> float:
         """eps = sqrt(2 V_max / M_min)."""

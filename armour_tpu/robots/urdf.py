@@ -177,6 +177,7 @@ def load_urdf(
     inertia = np.zeros((n_joints, 3, 3))
     zono_c = np.zeros((n_joints, 3))
     zono_g = np.zeros((n_joints, 3))
+    mesh_paths: list = [None] * n_joints
     for i, j in enumerate(chain):
         trans[i] = j["xyz"]
         rots[i] = j["rpy"]
@@ -188,10 +189,13 @@ def load_urdf(
         if L["mesh"]:
             mesh_path = (path.parent / L["mesh"]).resolve()
             bbox = _stl_bounding_box(mesh_path)
-            if bbox is None:
+            if bbox is not None:
+                mesh_paths[i] = str(mesh_path)
+            else:
                 for cand in path.parent.rglob(Path(L["mesh"]).name):
                     bbox = _stl_bounding_box(cand)
                     if bbox:
+                        mesh_paths[i] = str(cand)
                         break
         if bbox is not None:
             zono_c[i], zono_g[i] = bbox
@@ -231,6 +235,7 @@ def load_urdf(
         gravity=gravity,
         link_zono_center=zono_c,
         link_zono_gen=zono_g,
+        mesh_paths=tuple(mesh_paths),
     )
     return calibrate_mass_eigs(spec)
 

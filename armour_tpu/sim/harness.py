@@ -9,9 +9,10 @@ MATLAB driver (`kinova_run_100_worlds.m`).
 
 Safety oracles evaluated post-hoc at check_dt resolution, mirroring
 `simulator_armtd.m:232-276`:
-  - ground-truth collision (OBB/AABB, conservative vs the reference's mesh
-    check), torque limits, joint position/velocity limits, tracking
-    ultimate bound.
+  - ground-truth collision: in-graph OBB/AABB screen, refined to the exact
+    native mesh oracle in the stepped battery driver (the reference's
+    SurfaceIntersection check, `worlds/world.m:147-199`); torque limits,
+    joint position/velocity limits, tracking ultimate bound.
 """
 
 from __future__ import annotations
@@ -137,6 +138,7 @@ class EpisodeRunner:
                 consecutive_fail: jnp.ndarray
                 key: jnp.ndarray
                 k_prev: jnp.ndarray
+                stall: jnp.ndarray  # iterations without meaningful motion
 
             zero = jnp.asarray(False)
             s0 = EpisodeSummary(
@@ -147,11 +149,22 @@ class EpisodeRunner:
             )
 
             def step(c: C, _):
-                key_i, key_n = jax.random.split(c.key)
+                key_i, key_wp, key_n = jax.random.split(c.key, 3)
                 # plan from the reference trajectory state at t_move
                 # (uarmtd_planner.m:91-94 uses reference_state)
                 q0p, qd0p, qdd0p = traj_eval(c.traj, scfg.t_move, pcfg.duration)
-                q_des = waypoint_fn(c.q, goal)
+                # HLP escalation (in-graph twin of the stepped driver's):
+                # stalled worlds swap the straight-line waypoint for sampled
+                # clearance waypoints instead of re-driving into the same
+                # local minimum (the reference swaps HLP classes by hand in
+                # cluttered scenes)
+                from armour_tpu.planner.hlp import clearance_waypoint
+
+                q_des = jnp.where(
+                    c.stall >= 3,
+                    clearance_waypoint(spec, c.q, goal, obstacles, key_wp),
+                    waypoint_fn(c.q, goal),
+                )
                 plan = planner_fn(q0p, qd0p, qdd0p, q_des, obs_zonos, obs_mask,
                                   key_i, c.k_prev)
 
@@ -210,6 +223,7 @@ class EpisodeRunner:
                 )
                 done_n = c.done | reached | col | stopped
                 sel = lambda a, b: jnp.where(active, a, b)
+                moved = jnp.linalg.norm(q_n - c.q) > 5e-3
                 c_next = C(
                     q=sel(q_n, c.q),
                     qd=sel(qd_n, c.qd),
@@ -219,6 +233,7 @@ class EpisodeRunner:
                     consecutive_fail=jnp.where(active, fails, c.consecutive_fail),
                     key=key_n,
                     k_prev=sel(jnp.nan_to_num(plan.k), c.k_prev),
+                    stall=jnp.where(active & ~moved, c.stall + 1, 0),
                 )
                 return c_next, None
 
@@ -227,6 +242,7 @@ class EpisodeRunner:
                 done=jnp.asarray(False), summary=s0,
                 consecutive_fail=jnp.asarray(0), key=key,
                 k_prev=jnp.zeros(nf, dtype),
+                stall=jnp.asarray(0),
             )
             c_end, _ = jax.lax.scan(step, c0, None, length=scfg.max_iterations)
             return c_end.summary
@@ -242,6 +258,7 @@ def run_batch_stepped(
     masks,
     keys,
     verbose: bool = False,
+    collision_oracle: str = "mesh",
 ) -> EpisodeSummary:
     """Host-stepped batched episodes — the TPU-friendly battery driver.
 
@@ -249,7 +266,17 @@ def run_batch_stepped(
     compile), each receding-horizon iteration runs three separately-jitted
     stages: lax.map reachable-set build over worlds, vmapped NLP solve,
     vmapped plant rollout + safety checks.  Semantics match
-    EpisodeRunner.run_batch.
+    EpisodeRunner.run_batch, except the ground-truth collision flag:
+
+    ``collision_oracle="mesh"`` refines every in-graph box-check hit with
+    the exact native mesh oracle (`native/mesh_oracle.cpp`, the rebuild of
+    the reference's SurfaceIntersection post-hoc check,
+    `worlds/world.m:147-199`).  The link boxes are the bounding boxes of
+    the link meshes, so box-clean implies mesh-clean and only flagged
+    (world, window) pairs pay the exact test — a box hit that the meshes
+    do not confirm is NOT a collision and the episode continues.
+    ``"box"`` keeps the conservative in-graph verdict (also the automatic
+    fallback when the native library cannot be built).
     """
     import numpy as np
 
@@ -268,13 +295,60 @@ def run_batch_stepped(
     from armour_tpu.sim.agent import TrajParams, TrueParams, rollout, traj_eval
     from armour_tpu.sim.world import arm_collision_check, goal_check
 
+    # shrink the obstacle bank to the smallest static bucket covering the
+    # batch's live slots (see ArmourPlanner.obstacle_bucket) — the NLP's
+    # dominant HBM term scales with the slot capacity, not the live count
+    bucket = planner.obstacle_bucket(masks)
+    zonos = jnp.asarray(zonos)[:, :bucket]
+    masks = jnp.asarray(masks)[:, :bucket]
+
     solve_vmap = planner._solve_vmap
     build_map = planner._build_map
 
+    # exact mesh ground-truth oracle (refines box-check hits only)
+    mesh_oracle = None
+    if collision_oracle == "mesh":
+        from armour_tpu.collision.mesh_oracle import available, oracle_for_spec
+
+        if available():
+            mesh_oracle = oracle_for_spec(spec)
+    if mesh_oracle is not None:
+        from armour_tpu.dynamics.rnea import forward_kinematics
+
+        fk_jit = jax.jit(lambda qq: forward_kinematics(spec, qq))
+        # per-world obstacle AABBs: (B, O, 6) center + half extents
+        z_np = np.asarray(zonos)
+        m_np = np.asarray(masks)
+        aabbs = [
+            np.concatenate(
+                [z_np[b, m_np[b], 0], np.abs(z_np[b, m_np[b], 1:]).sum(axis=1)],
+                axis=1,
+            )
+            for b in range(z_np.shape[0])
+        ]
+
+    def _mesh_refine(col_np, active, log_q):
+        """Replace conservative box hits with the exact mesh verdict."""
+        flagged = np.where(col_np & active)[0]
+        if flagged.size == 0:
+            return col_np
+        qf = np.asarray(log_q)[flagged]               # (F, n_chk, nf)
+        F, n_chk = qf.shape[:2]
+        Rw, pw = fk_jit(jnp.asarray(qf.reshape(-1, nf), dtype))
+        Rw = np.asarray(Rw, np.float64).reshape(F, n_chk, spec.n_joints, 3, 3)
+        pw = np.asarray(pw, np.float64).reshape(F, n_chk, spec.n_joints, 3)
+        for j, w in enumerate(flagged):
+            if aabbs[w].shape[0] == 0:
+                col_np[w] = False
+                continue
+            col_np[w] = bool(mesh_oracle.check(Rw[j], pw[j], aabbs[w]).any())
+        return col_np
+
     @jax.jit
-    def roll_and_check(q, qd, traj, tp, goal, zonos_b, masks_b):
-        def one(q1, qd1, t1, p1, g1, z1, m1):
-            q_n, qd_n, log = rollout(spec, scfg, q1, qd1, t1, p1, pcfg.duration)
+    def roll_and_check(q, qd, traj, tp, goal, zonos_b, masks_b, noise_keys):
+        def one(q1, qd1, t1, p1, g1, z1, m1, nk1):
+            q_n, qd_n, log = rollout(spec, scfg, q1, qd1, t1, p1, pcfg.duration,
+                                     noise_key=nk1)
             obs = ObstacleSet(z1, m1)
             col = jnp.any(arm_collision_check(spec, log.q, obs))
             tor = jnp.any(jnp.abs(log.u) > tlim[None, :] + 1e-6)
@@ -285,9 +359,9 @@ def run_batch_stepped(
                 jnp.abs(log.qd - log.qd_ref) > ub_vel + 1e-6
             )
             reached = goal_check(spec, q_n, g1, scfg.goal_radius)
-            return q_n, qd_n, col, tor, jl, ubv, reached
+            return q_n, qd_n, col, tor, jl, ubv, reached, log.q
 
-        return jax.vmap(one)(q, qd, traj, tp, goal, zonos_b, masks_b)
+        return jax.vmap(one)(q, qd, traj, tp, goal, zonos_b, masks_b, noise_keys)
 
     @jax.jit
     def ref_state(traj):
@@ -328,6 +402,8 @@ def run_batch_stepped(
 
     q = jnp.asarray(starts, dtype)
     qd = jnp.zeros((B, nf), dtype)
+    goals_np = np.asarray(goals, float)
+    rrt_paths: dict = {}  # world -> [path (n_wp, nf) | None, next idx]
     traj = TrajParams(
         q0=q, qd0=jnp.zeros((B, nf), dtype), qdd0=jnp.zeros((B, nf), dtype),
         k_actual=jnp.zeros((B, nf), dtype),
@@ -357,6 +433,43 @@ def run_batch_stepped(
                 q, jnp.asarray(goals, dtype), zonos, masks, wp_keys
             )
             q_des = jnp.where(jnp.asarray(stall >= 3)[:, None], q_clear, q_des)
+        if (stall >= 8).any():
+            # stage-2 escalation: worlds stalled despite clearance sampling
+            # get a host-side RRT* plan (config space; workspace EE RRT* +
+            # IK as fallback, `arm_end_effector_RRT_star_HLP.m`), consumed
+            # waypoint by waypoint
+            from armour_tpu.planner.hlp import (
+                ee_rrt_star_config_waypoints,
+                rrt_star_waypoints,
+            )
+
+            q_np_cur = np.asarray(q, float)
+            for w in np.nonzero((stall >= 8) & ~done)[0]:
+                if w in rrt_paths:
+                    continue
+                obs_w = ObstacleSet(zonos[w], masks[w])
+                path = rrt_star_waypoints(
+                    spec, q_np_cur[w], goals_np[w], obs_w, seed=int(w))
+                if path is None:
+                    path = ee_rrt_star_config_waypoints(
+                        spec, q_np_cur[w], goals_np[w], obs_w, seed=int(w))
+                rrt_paths[int(w)] = [path, 1]
+                if verbose:
+                    got = "ok" if path is not None else "FAILED"
+                    print(f"  world {w}: RRT* escalation {got}")
+        if rrt_paths:
+            q_des_np = np.asarray(q_des, float)
+            q_np_cur = np.asarray(q, float)
+            for w, st in rrt_paths.items():
+                path, idx = st
+                if path is None or done[w]:
+                    continue
+                while (idx < len(path) - 1
+                       and np.linalg.norm(q_np_cur[w] - path[idx]) < 0.35):
+                    idx += 1
+                st[1] = idx
+                q_des_np[w] = path[idx]
+            q_des = jnp.asarray(q_des_np, dtype)
         loop_keys = jax.vmap(lambda k: jax.random.split(k)[0])(loop_keys)
         probs = build_map(q0p, qd0p, qdd0p, zonos, masks)
         plan = solve_vmap(probs, q_des, loop_keys, k_prev)
@@ -374,13 +487,21 @@ def run_batch_stepped(
         )
         k_prev = k_new
 
-        q, qd, col, tor, jl, ubv, reached = roll_and_check(
-            q, qd, traj, tp, jnp.asarray(goals, dtype), zonos, masks
+        # measurement noise uses its own per-world key stream so the
+        # stepped and scan drivers share semantics (SimConfig
+        # .measurement_noise_std was silently dead here before)
+        split2 = jax.vmap(lambda k: jax.random.split(k))(loop_keys)
+        loop_keys, noise_keys = split2[:, 0], split2[:, 1]
+        q, qd, col, tor, jl, ubv, reached, log_q = roll_and_check(
+            q, qd, traj, tp, jnp.asarray(goals, dtype), zonos, masks, noise_keys
         )
 
         active = ~done
+        col = np.asarray(col)
+        if mesh_oracle is not None:
+            col = _mesh_refine(np.array(col), active, log_q)
         for name, arr in (
-            ("collision", np.asarray(col)), ("torque_violation", np.asarray(tor)),
+            ("collision", col), ("torque_violation", np.asarray(tor)),
             ("joint_limit_violation", np.asarray(jl)),
             ("ultimate_bound_violation", np.asarray(ubv)),
             ("goal_reached", np.asarray(reached)),

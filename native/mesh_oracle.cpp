@@ -80,9 +80,50 @@ bool tri_aabb_overlap(const Vec3& v0, const Vec3& v1, const Vec3& v2, const Vec3
 
 struct Mesh {
     std::vector<Vec3> verts;  // 3 per triangle
+    Vec3 bb_c{0, 0, 0};       // local-frame bounding box (broad phase)
+    Vec3 bb_h{0, 0, 0};
 };
 
 std::vector<Mesh> g_meshes;
+
+// Broad phase: exact OBB (link bbox posed by R) vs centered AABB SAT over
+// the 15 candidate axes.  Real STL link meshes run ~10k triangles; without
+// this pre-filter every (config x link x obstacle) would stream them all.
+bool obb_aabb_overlap(const double* R, const Vec3& c, const Vec3& hb, const Vec3& ha) {
+    // world axes (AABB face normals)
+    for (int a = 0; a < 3; a++) {
+        double d = a == 0 ? c.x : (a == 1 ? c.y : c.z);
+        double rb = std::fabs(R[a * 3 + 0]) * hb.x + std::fabs(R[a * 3 + 1]) * hb.y +
+                    std::fabs(R[a * 3 + 2]) * hb.z;
+        double ra = a == 0 ? ha.x : (a == 1 ? ha.y : ha.z);
+        if (std::fabs(d) > rb + ra) return false;
+    }
+    // OBB axes
+    for (int a = 0; a < 3; a++) {
+        Vec3 ax = {R[0 * 3 + a], R[1 * 3 + a], R[2 * 3 + a]};
+        double d = dot(ax, c);
+        double rb = a == 0 ? hb.x : (a == 1 ? hb.y : hb.z);
+        double ra = ha.x * std::fabs(ax.x) + ha.y * std::fabs(ax.y) + ha.z * std::fabs(ax.z);
+        if (std::fabs(d) > rb + ra) return false;
+    }
+    // 9 cross products world_i x obb_j
+    for (int i = 0; i < 3; i++) {
+        Vec3 wi = {i == 0 ? 1.0 : 0.0, i == 1 ? 1.0 : 0.0, i == 2 ? 1.0 : 0.0};
+        for (int j = 0; j < 3; j++) {
+            Vec3 oj = {R[0 * 3 + j], R[1 * 3 + j], R[2 * 3 + j]};
+            Vec3 ax = cross(wi, oj);
+            double n = std::sqrt(dot(ax, ax));
+            if (n < 1e-12) continue;
+            double d = std::fabs(dot(ax, c));
+            double ra = ha.x * std::fabs(ax.x) + ha.y * std::fabs(ax.y) + ha.z * std::fabs(ax.z);
+            Vec3 axl = {dot(ax, {R[0], R[3], R[6]}), dot(ax, {R[1], R[4], R[7]}),
+                        dot(ax, {R[2], R[5], R[8]})};
+            double rb = hb.x * std::fabs(axl.x) + hb.y * std::fabs(axl.y) + hb.z * std::fabs(axl.z);
+            if (d > ra + rb) return false;
+        }
+    }
+    return true;
+}
 
 }  // namespace
 
@@ -95,10 +136,16 @@ void mesh_oracle_set_meshes(int n_links, const int64_t* tri_counts, const double
     const double* p = tris;
     for (int i = 0; i < n_links; i++) {
         g_meshes[i].verts.resize(tri_counts[i] * 3);
+        Vec3 mn = {1e30, 1e30, 1e30}, mx = {-1e30, -1e30, -1e30};
         for (int64_t t = 0; t < tri_counts[i] * 3; t++) {
-            g_meshes[i].verts[t] = {p[0], p[1], p[2]};
+            Vec3 v = {p[0], p[1], p[2]};
+            g_meshes[i].verts[t] = v;
+            mn = {v.x < mn.x ? v.x : mn.x, v.y < mn.y ? v.y : mn.y, v.z < mn.z ? v.z : mn.z};
+            mx = {v.x > mx.x ? v.x : mx.x, v.y > mx.y ? v.y : mx.y, v.z > mx.z ? v.z : mx.z};
             p += 3;
         }
+        g_meshes[i].bb_c = {(mn.x + mx.x) / 2, (mn.y + mx.y) / 2, (mn.z + mx.z) / 2};
+        g_meshes[i].bb_h = {(mx.x - mn.x) / 2, (mx.y - mn.y) / 2, (mx.z - mn.z) / 2};
     }
 }
 
@@ -119,6 +166,13 @@ void mesh_oracle_check(int64_t n_cfg, int n_links, const double* R, const double
             for (int o = 0; o < n_obs && !hit; o++) {
                 const double* ob = obs + o * 6;
                 Vec3 h = {ob[3], ob[4], ob[5]};
+                // broad phase: posed link bounding box vs obstacle
+                Vec3 bc = {
+                    Rc[0] * m.bb_c.x + Rc[1] * m.bb_c.y + Rc[2] * m.bb_c.z + pc[0] - ob[0],
+                    Rc[3] * m.bb_c.x + Rc[4] * m.bb_c.y + Rc[5] * m.bb_c.z + pc[1] - ob[1],
+                    Rc[6] * m.bb_c.x + Rc[7] * m.bb_c.y + Rc[8] * m.bb_c.z + pc[2] - ob[2],
+                };
+                if (!obb_aabb_overlap(Rc, bc, m.bb_h, h)) continue;
                 for (size_t t = 0; t + 2 < m.verts.size(); t += 3) {
                     Vec3 w[3];
                     for (int v = 0; v < 3; v++) {

@@ -31,6 +31,10 @@ def main():
                     help="stepped = host-driven per-iteration jits (fast compile); "
                          "scan = one fused program per batch")
     ap.add_argument("--f64", action="store_true", help="run in float64 (CPU)")
+    ap.add_argument("--collision-oracle", default="mesh", choices=["mesh", "box"],
+                    help="ground-truth collision check: exact link-mesh oracle "
+                         "(reference SurfaceIntersection parity) or conservative "
+                         "bounding boxes (stepped driver only)")
     ap.add_argument("--out", default="", help="write JSON summary here")
     args = ap.parse_args()
 
@@ -74,7 +78,7 @@ def main():
         if args.driver == "stepped":
             s = run_batch_stepped(
                 runner, starts[sl], goals[sl], zonos[sl], masks[sl], keys[sl],
-                verbose=True,
+                verbose=True, collision_oracle=args.collision_oracle,
             )
         else:
             s = jax.block_until_ready(
