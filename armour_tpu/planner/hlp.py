@@ -16,6 +16,12 @@ Rebuild of `simulator/planners/high_level_planners/`:
 - ``rrt_connect_waypoints``: bidirectional trees (`RRT_connect_HLP.m`).
 - ``prm_waypoints``: probabilistic roadmap + Dijkstra (the reference's
   PRM/dijkstra HLP variants).
+- ``ee_rrt_star_waypoints`` / ``ik_to_position`` /
+  ``ee_rrt_star_config_waypoints``: workspace RRT* over end-effector
+  positions with buffered point-in-box edge checks, mapped back to
+  configuration waypoints by damped-least-squares IK seeded from
+  0.5 (q_cur + q_goal) with global-goal fallback
+  (`arm_end_effector_RRT_star_HLP.m:1-145`).
 """
 
 from __future__ import annotations
@@ -296,6 +302,176 @@ def rrt_connect_waypoints(
                 return np.asarray(path)
 
     return None
+
+
+def ik_to_position(
+    spec: RobotSpec,
+    target_xyz,
+    q_seed,
+    iters: int = 60,
+    damping: float = 1e-2,
+    tol: float = 5e-3,
+):
+    """Damped-least-squares IK to an end-effector position (the workspace
+    HLP's `agent_info.inverse_kinematics` role,
+    `arm_end_effector_RRT_star_HLP.m:70-80`).  Jittable; returns (q, ok)."""
+    from armour_tpu.dynamics.utility import ee_jacobian, ee_pose
+
+    nf = spec.n_factors
+    lb = jnp.asarray(
+        np.where(spec.continuous_joints, -np.pi, spec.pos_limits_lb))
+    ub = jnp.asarray(
+        np.where(spec.continuous_joints, np.pi, spec.pos_limits_ub))
+    target = jnp.asarray(target_xyz, jnp.result_type(q_seed))
+
+    def step(q, _):
+        _, p = ee_pose(spec, q)
+        J = ee_jacobian(spec, q)[:3]                   # position rows (3, nf)
+        e = target - p
+        JJt = J @ J.T + damping * jnp.eye(3, dtype=q.dtype)
+        dq = J.T @ jnp.linalg.solve(JJt, e)
+        return jnp.clip(q + dq, lb, ub), None
+
+    q, _ = jax.lax.scan(step, jnp.asarray(q_seed), None, length=iters)
+    _, p = ee_pose(spec, q)
+    ok = jnp.linalg.norm(target - p) <= tol
+    return q, ok
+
+
+def ee_rrt_star_waypoints(
+    spec: RobotSpec,
+    q_start: np.ndarray,
+    goal,
+    obstacles: ObstacleSet,
+    seed: int = 0,
+    max_nodes: int = 600,
+    step: float = 0.1,
+    goal_bias: float = 0.2,
+    rewire_radius: float = 0.25,
+    buffer: float = 0.0,
+    bounds=((-1.0, 1.0), (-1.0, 1.0), (0.0, 1.3)),
+    edge_resolution: float = 0.01,
+) -> np.ndarray | None:
+    """Workspace RRT* over END-EFFECTOR positions
+    (`arm_end_effector_RRT_star_HLP.m`): nodes are 3-D points, edges are
+    checked by point-vs-buffered-box distance at 1 cm discretization
+    (`edge_feasibility_check`, `:128-145`), obstacles grow by 2*buffer
+    (`grow_tree`, `:108-118`).  Returns an (n_wp, 3) EE path start -> goal,
+    or None.
+
+    ``goal``: either a goal configuration (nf,) — its EE position is used,
+    matching `setup@:27-37` — or a 3-D point.
+    """
+    from armour_tpu.dynamics.utility import ee_pose
+
+    rng = np.random.default_rng(seed)
+    goal = np.asarray(goal, float)
+    _, p0 = ee_pose(spec, jnp.asarray(q_start, float))
+    start = np.asarray(p0, float)
+    if goal.shape[-1] == spec.n_factors:
+        _, pg = ee_pose(spec, jnp.asarray(goal))
+        goal_p = np.asarray(pg, float)
+    else:
+        goal_p = goal
+
+    z = np.asarray(obstacles.zonos, float)
+    live = np.asarray(obstacles.mask)
+    obs_c = z[live, 0]                                   # (n_obs, 3)
+    obs_h = np.abs(z[live, 1:]).sum(axis=1) + buffer     # (n_obs, 3)
+    lb = np.array([b[0] for b in bounds])
+    ub = np.array([b[1] for b in bounds])
+
+    def pts_free(pts):
+        """(N, 3) points vs all buffered boxes (dist_point_to_box == 0)."""
+        if obs_c.shape[0] == 0:
+            return np.ones(pts.shape[0], bool)
+        inside = np.all(
+            np.abs(pts[:, None, :] - obs_c[None]) <= obs_h[None], axis=-1
+        )
+        return ~inside.any(axis=1)
+
+    def edge_free(a, b):
+        d = np.linalg.norm(b - a)
+        n = max(2, int(np.ceil(d / edge_resolution)) + 1)
+        ts = np.linspace(0.0, 1.0, n)[:, None]
+        return pts_free(a[None] + ts * (b - a)[None]).all()
+
+    nodes = np.zeros((max_nodes, 3))
+    parent = np.full(max_nodes, -1, np.int64)
+    cost = np.zeros(max_nodes)
+    nodes[0] = start
+    n = 1
+    goal_idx = -1
+    for _ in range(max_nodes * 4):
+        if n >= max_nodes:
+            break
+        target = goal_p if rng.uniform() < goal_bias else rng.uniform(lb, ub)
+        nearest = int(np.argmin(np.linalg.norm(nodes[:n] - target, axis=-1)))
+        dirv = target - nodes[nearest]
+        nd = np.linalg.norm(dirv)
+        new = nodes[nearest] + min(step, nd) * dirv / max(nd, 1e-9)
+        new = np.clip(new, lb, ub)
+        if not pts_free(new[None])[0]:
+            continue
+        dn = np.linalg.norm(nodes[:n] - new, axis=-1)
+        near = np.nonzero(dn < rewire_radius)[0]
+        if near.size == 0:
+            near = np.array([nearest])
+        free = np.array([edge_free(nodes[j], new) for j in near])
+        if not free.any():
+            continue
+        cands = near[free]
+        c_through = cost[cands] + np.linalg.norm(nodes[cands] - new, axis=-1)
+        best = int(np.argmin(c_through))
+        nodes[n] = new
+        parent[n] = cands[best]
+        cost[n] = c_through[best]
+        improve = cost[cands] > cost[n] + np.linalg.norm(nodes[cands] - new, axis=-1)
+        for j in cands[improve]:
+            parent[j] = n
+            cost[j] = cost[n] + np.linalg.norm(nodes[j] - new)
+        if np.linalg.norm(new - goal_p) < step and edge_free(new, goal_p):
+            goal_idx = n
+        n += 1
+        if goal_idx >= 0:
+            break
+    if goal_idx < 0:
+        return None
+    path = [goal_p, nodes[goal_idx]]
+    p = parent[goal_idx]
+    while p >= 0:
+        path.append(nodes[p])
+        p = parent[p]
+    return np.asarray(path[::-1])
+
+
+def ee_rrt_star_config_waypoints(
+    spec: RobotSpec,
+    q_start: np.ndarray,
+    goal_cfg: np.ndarray,
+    obstacles: ObstacleSet,
+    seed: int = 0,
+    **rrt_kwargs,
+) -> np.ndarray | None:
+    """EE RRT* path mapped to CONFIGURATION waypoints: each workspace
+    waypoint goes through damped-least-squares IK seeded from
+    0.5 (q_cur + q_goal); IK failure falls back to the global goal config
+    (`arm_end_effector_RRT_star_HLP.m:60-86` get_waypoint)."""
+    path = ee_rrt_star_waypoints(spec, q_start, goal_cfg, obstacles,
+                                 seed=seed, **rrt_kwargs)
+    if path is None:
+        return None
+    goal_cfg = np.asarray(goal_cfg, float)
+    out = []
+    q_cur = np.asarray(q_start, float)
+    for z in path[1:]:
+        seed_q = 0.5 * (q_cur + goal_cfg)
+        q, ok = ik_to_position(spec, z, jnp.asarray(seed_q))
+        q = np.asarray(q, float) if bool(ok) else goal_cfg
+        out.append(q)
+        q_cur = q
+    out.append(goal_cfg)
+    return np.asarray(out)
 
 
 def prm_waypoints(

@@ -151,3 +151,46 @@ def test_rrt_star_connect_prm_variants():
         np.testing.assert_allclose(path[-1], goal, atol=1e-9)
         hits = np.asarray(arm_collision_check(SPEC, jnp.asarray(path), obs))
         assert not hits.any(), fn.__name__
+
+
+def test_ik_to_position_reaches_target():
+    """Damped-least-squares IK converges to a reachable EE target."""
+    from armour_tpu.dynamics.utility import ee_pose
+    from armour_tpu.planner.hlp import ik_to_position
+
+    q_goal = Q_HOME + 0.4
+    _, target = ee_pose(SPEC, jnp.asarray(q_goal))
+    q, ok = ik_to_position(SPEC, target, jnp.asarray(Q_HOME))
+    assert bool(ok)
+    _, p = ee_pose(SPEC, q)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(target), atol=5e-3)
+
+
+def test_ee_rrt_star_workspace_path():
+    """Workspace RRT* (`arm_end_effector_RRT_star_HLP.m`): the EE path ends
+    at the goal EE position, every waypoint is outside the buffered boxes,
+    and the config mapping returns IK-valid waypoints ending at the goal
+    configuration."""
+    from armour_tpu.dynamics.utility import ee_pose
+    from armour_tpu.planner.hlp import (
+        ee_rrt_star_config_waypoints,
+        ee_rrt_star_waypoints,
+    )
+
+    obs = ObstacleSet.from_boxes(
+        np.array([[0.45, 0.1, 0.45]]), np.array([[0.15, 0.15, 0.15]]), 4
+    )
+    q_goal = Q_HOME + np.array([0.5, -0.3, 0.4, 0.2, -0.4, 0.3, 0.5])
+    path = ee_rrt_star_waypoints(SPEC, Q_HOME, q_goal, obs, seed=2)
+    assert path is not None
+    _, pg = ee_pose(SPEC, jnp.asarray(q_goal))
+    np.testing.assert_allclose(path[-1], np.asarray(pg), atol=1e-9)
+    z = np.asarray(obs.zonos)
+    c0, h0 = z[0, 0], np.abs(z[0, 1:]).sum(axis=0)
+    inside = np.all(np.abs(path - c0) <= h0, axis=-1)
+    assert not inside.any()
+
+    cfg_path = ee_rrt_star_config_waypoints(SPEC, Q_HOME, q_goal, obs, seed=2)
+    assert cfg_path is not None
+    np.testing.assert_allclose(cfg_path[-1], q_goal, atol=1e-9)
+    assert np.all(np.isfinite(cfg_path))
