@@ -117,3 +117,60 @@ def althoff_control(
     kappa_t = kp[1] + ki[1] * e_acc
     v = (kappa_t * jnp.linalg.norm(phi, axis=-1) + phi_t)[..., None] * r
     return tau + v, tau, v
+
+
+def nominal_passivity_control(
+    spec: RobotSpec,
+    q,
+    qd,
+    q_des,
+    qd_des,
+    qdd_des,
+    wrap_continuous: bool = True,
+):
+    """Nominal passivity LLC (`uarmtd_nominal_passivity_LLC.m:26-66`): the
+    same modified reference (qd_ref, qdd_ref) as the robust law, but the
+    input is JUST the nominal RNEA torque — no robust term, no ultimate
+    bound guarantee.  The ablation baseline that motivates the robust
+    controller under model uncertainty.  Returns (u, tau, v=0)."""
+    err = q_des - q
+    if wrap_continuous:
+        cont = jnp.asarray(spec.continuous_joints)
+        err = jnp.where(cont, _wrap(err), err)
+    d_err = qd_des - qd
+    qd_ref = qd_des + spec.kr * err
+    qdd_ref = qdd_des + spec.kr * d_err
+    tau = rnea(spec, q, qd, qd_ref, qdd_ref, use_gravity=True,
+               use_armature=True)
+    return tau, tau, jnp.zeros_like(tau)
+
+
+def pid_control(
+    spec: RobotSpec,
+    q,
+    qd,
+    q_des,
+    qd_des,
+    qdd_des,
+    i_err,
+    k_ff: float = 1.0,
+    k_p: float = 100.0,
+    k_d: float = 10.0,
+    k_i: float = 0.01,
+    wrap_continuous: bool = True,
+):
+    """Classical PID + feedforward baseline (`robot_arm_PID_LLC.m:36-90`,
+    default gains K_ff=1, K_p=100, K_d=10, K_i=0.01): u = K_ff u_ref
+    - K_p e_pos - K_d e_vel - K_i int(e_pos), with the nominal RNEA torque
+    along the reference as feedforward (covers the gravityTorque term).
+    ``i_err``: integrated position error, threaded by the rollout.
+    Returns (u, u_ref, v = feedback part)."""
+    e = q - q_des
+    if wrap_continuous:
+        cont = jnp.asarray(spec.continuous_joints)
+        e = jnp.where(cont, _wrap(e), e)
+    de = qd - qd_des
+    u_ref = rnea(spec, q_des, qd_des, qd_des, qdd_des, use_gravity=True,
+                 use_armature=True)
+    v = -k_p * e - k_d * de - k_i * i_err
+    return k_ff * u_ref + v, u_ref, v

@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from armour_tpu.config import SimConfig
-from armour_tpu.control.robust import robust_control
+from armour_tpu.control.robust import (
+    althoff_control,
+    nominal_passivity_control,
+    pid_control,
+    robust_control,
+)
 from armour_tpu.dynamics.rnea import bias_forces, mass_matrix, rnea
 from armour_tpu.jrs.bezier import bezier_ref
 from armour_tpu.robots.spec import RobotSpec
@@ -94,11 +99,16 @@ def rollout(
     true_params: TrueParams,
     duration: float = 1.0,
     noise_key: jnp.ndarray | None = None,
+    controller: str = "robust",
 ):
     """Integrate the closed loop over [0, t_move].
 
     ``noise_key`` enables measurement noise on the state fed to the
     controller (`uarmtd_agent.m:314-325`, sigma = SimConfig.measurement_noise_std).
+    ``controller``: which low-level control law closes the loop —
+    "robust" (ARMOUR CBF, the default), "althoff", "nominal"
+    (`uarmtd_nominal_passivity_LLC.m`), or "pid" (`robot_arm_PID_LLC.m`,
+    integral state threaded through the scan carry).
     Returns (q_end, qd_end, log at check_dt resolution).
     """
     n_steps = int(round(sim.t_move / sim.plant_dt))
@@ -113,12 +123,21 @@ def rollout(
     else:
         noise = jnp.zeros((n_steps, 2, spec.n_factors), q.dtype)
 
-    def control(i, t, q, qd):
+    def control(i, t, q, qd, i_err):
         q_des, qd_des, qdd_des = traj_eval(traj, t, duration)
-        u, _, _ = robust_control(
-            spec, q + noise[i, 0], qd + noise[i, 1], q_des, qd_des, qdd_des
-        )
-        return u
+        qm, qdm = q + noise[i, 0], qd + noise[i, 1]
+        if controller == "robust":
+            u, _, _ = robust_control(spec, qm, qdm, q_des, qd_des, qdd_des)
+        elif controller == "althoff":
+            u, _, _ = althoff_control(spec, qm, qdm, q_des, qd_des, qdd_des)
+        elif controller == "nominal":
+            u, _, _ = nominal_passivity_control(
+                spec, qm, qdm, q_des, qd_des, qdd_des)
+        elif controller == "pid":
+            u, _, _ = pid_control(spec, qm, qdm, q_des, qd_des, qdd_des, i_err)
+        else:
+            raise ValueError(f"unknown controller {controller!r}")
+        return u, qm - q_des
 
     def plant_acc(q, qd, u):
         M = mass_matrix_true(q)
@@ -144,9 +163,10 @@ def rollout(
     dt = sim.plant_dt
 
     def rk4_step(carry, i):
-        q, qd = carry
+        q, qd, i_err = carry
         t = i * dt
-        u = control(i.astype(jnp.int32), t, q, qd)  # zero-order hold within the step
+        # zero-order hold within the step
+        u, e_pos = control(i.astype(jnp.int32), t, q, qd, i_err)
 
         def f(state):
             qq, dq = state
@@ -159,10 +179,10 @@ def rollout(
         q_n = q + dt / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
         qd_n = qd + dt / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
         q_ref, qd_ref, _ = traj_eval(traj, t, duration)
-        return (q_n, qd_n), (t, q, qd, q_ref, qd_ref, u)
+        return (q_n, qd_n, i_err + dt * e_pos), (t, q, qd, q_ref, qd_ref, u)
 
-    (q_end, qd_end), hist = jax.lax.scan(
-        rk4_step, (q, qd), jnp.arange(n_steps, dtype=q.dtype)
+    (q_end, qd_end, _), hist = jax.lax.scan(
+        rk4_step, (q, qd, jnp.zeros_like(q)), jnp.arange(n_steps, dtype=q.dtype)
     )
     # subsample to check_dt resolution for the safety oracles
     idx = jnp.arange(0, n_steps, log_every)

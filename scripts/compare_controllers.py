@@ -1,14 +1,20 @@
 #!/usr/bin/env python
-"""Robust-controller tracking benchmark
-(rebuild of `kinova_compare_robust_controller.m:17-30`).
+"""Controller tracking benchmark
+(rebuild of `kinova_compare_robust_controller.m:17-30` plus the
+nominal/PID ablation that motivates the robust law).
 
-Sweeps the plant's true-parameter uncertainty over
-{0, 3, 5, 10, 25, 50}% and reports max/mean tracking error for the ARMOUR
-robust CBF controller vs the ALTHOFF PI-gain variant, batched over random
-reference trajectories.
+Sweeps the plant's true-parameter uncertainty over {0, 3, 5, 10, 25, 50}%
+and reports max/mean tracking error for four low-level controllers —
+ARMOUR robust CBF, ALTHOFF PI-gain robust, nominal passivity
+(`uarmtd_nominal_passivity_LLC.m`), and PID+feedforward
+(`robot_arm_PID_LLC.m`) — batched over random reference trajectories.
+The expected shape of the table: the robust controller stays inside its
+ultimate bound at every uncertainty level it is certified for, while the
+nominal/PID baselines drift out as uncertainty grows.
 """
 
 import argparse
+import json
 import os
 import sys
 
@@ -20,7 +26,10 @@ def main():
     ap.add_argument("--n-traj", type=int, default=16)
     ap.add_argument("--uncertainty", type=float, nargs="*",
                     default=[0.0, 0.03, 0.05, 0.10, 0.25, 0.50])
+    ap.add_argument("--controllers", nargs="*",
+                    default=["robust", "althoff", "nominal", "pid"])
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--out", default="", help="write JSON table here")
     args = ap.parse_args()
 
     import jax
@@ -36,8 +45,6 @@ def main():
     dtype = jnp.float64 if args.f64 else jnp.float32
 
     from armour_tpu.config import PlannerConfig, SimConfig
-    from armour_tpu.control.robust import althoff_control, robust_control
-    from armour_tpu.dynamics.rnea import rnea
     from armour_tpu.robots.kinova import kinova_gen3_spec
     from armour_tpu.sim.agent import TrajParams, TrueParams, rollout
 
@@ -54,24 +61,48 @@ def main():
     traj = TrajParams(q0=q0, qd0=qd0, qdd0=qdd0, k_actual=k_act,
                       t_offset=jnp.zeros((B,), dtype))
 
-    roll = jax.jit(jax.vmap(
-        lambda q, qd, t, p: rollout(spec, scfg, q, qd, t, p, 1.0),
-        in_axes=(0, 0, 0, 0),
-    ))
+    rolls = {
+        name: jax.jit(jax.vmap(
+            lambda q, qd, t, p, _n=name: rollout(
+                spec, scfg, q, qd, t, p, 1.0, controller=_n),
+            in_axes=(0, 0, 0, 0),
+        ))
+        for name in args.controllers
+    }
 
-    print(f"{'uncertainty':>12} {'max pos err':>12} {'mean pos err':>13} "
-          f"{'max vel err':>12} {'bound ok':>9}")
+    table = []
+    print(f"{'controller':>10} {'uncertainty':>12} {'max pos err':>12} "
+          f"{'mean pos err':>13} {'max vel err':>12} {'bound ok':>9}")
     for unc in args.uncertainty:
         scale = jnp.asarray(rng.uniform(1 - unc, 1 + unc, (B, 7)), dtype)
         tp = TrueParams(mass_scale=scale, inertia_scale=scale)
-        _, _, log = jax.block_until_ready(roll(q0, qd0, traj, tp))
-        perr = np.abs(np.asarray(log.q - log.q_ref))
-        verr = np.abs(np.asarray(log.qd - log.qd_ref))
-        ok = perr.max() <= spec.qe and verr.max() <= 2 * spec.ultimate_bound
-        print(f"{unc:12.0%} {perr.max():12.2e} {perr.mean():13.2e} "
-              f"{verr.max():12.2e} {str(bool(ok)):>9}")
-    print(f"ultimate bound: pos {spec.qe:.4f} rad, vel {2 * spec.ultimate_bound:.4f} rad/s")
-    print("(controller is certified for 3% uncertainty; larger sweeps probe margin)")
+        for name in args.controllers:
+            _, _, log = jax.block_until_ready(rolls[name](q0, qd0, traj, tp))
+            perr = np.abs(np.asarray(log.q - log.q_ref))
+            verr = np.abs(np.asarray(log.qd - log.qd_ref))
+            ok = perr.max() <= spec.qe and verr.max() <= 2 * spec.ultimate_bound
+            print(f"{name:>10} {unc:12.0%} {perr.max():12.2e} "
+                  f"{perr.mean():13.2e} {verr.max():12.2e} {str(bool(ok)):>9}")
+            table.append({
+                "controller": name, "uncertainty": unc,
+                "max_pos_err": float(perr.max()),
+                "mean_pos_err": float(perr.mean()),
+                "max_vel_err": float(verr.max()),
+                "within_ultimate_bound": bool(ok),
+            })
+    print(f"ultimate bound: pos {spec.qe:.4f} rad, "
+          f"vel {2 * spec.ultimate_bound:.4f} rad/s")
+    print("(the robust law is certified for 3% uncertainty; larger sweeps "
+          "probe margin — nominal/PID carry no bound at all)")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "pos_bound": spec.qe,
+                "vel_bound": 2 * spec.ultimate_bound,
+                "n_trajectories": B,
+                "rows": table,
+            }, f, indent=2)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
