@@ -37,11 +37,12 @@ class PlannerConfig:
     # trajectory-parameter range per joint, radians (Parameters.h:21)
     k_range: float = math.pi / 48
 
-    # degree cap for the static k-monomial basis.  The reference instead
-    # sweeps monomials with coefficient norm < 5e-4 (Parameters.h:10,
+    # NOTE: the degree cap for the static k-monomial basis is a COMPILE-TIME
+    # constant, `armour_tpu.ops.pz.DEFAULT_MAX_DEGREE` (= 2), mirroring the
+    # reference's compile-time Parameters.h.  The reference instead sweeps
+    # monomials with coefficient norm < 5e-4 (Parameters.h:10,
     # PZsparse.cu:284-350); with k_range = pi/48 every degree-3 k-monomial
     # coefficient is O(3e-4) so degree<=2 is the static-budget equivalent.
-    max_monomial_degree: int = 2
 
     # obstacle capacity (Parameters.h:26-29)
     max_obstacles: int = 40

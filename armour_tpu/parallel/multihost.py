@@ -33,9 +33,11 @@ def init_distributed(
 ):
     """Initialize the multi-host runtime (no-op when single-process).
 
-    On TPU pods with standard env vars all args are auto-detected; for
+    On TPU pods / managed clusters with standard env vars all args are
+    auto-detected (``jax.distributed.initialize()`` with no args); for
     manual/simulated clusters pass coordinator "host:port", the process
-    count, and this process's id.
+    count, and this process's id.  Outside any cluster the auto-detect
+    raises inside jax and we stay single-process.
     """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
@@ -43,6 +45,14 @@ def init_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif num_processes is None and coordinator_address is None:
+        # documented auto-detect path: let jax sniff the cluster env
+        # (TPU pod metadata, SLURM, GKE, ...).  A plain workstation has no
+        # cluster env and initialize() raises — single-process is correct.
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            pass
     return jax.process_count(), jax.process_index()
 
 
@@ -52,6 +62,12 @@ def global_planner_mesh(cp_size: int = 1) -> Mesh:
     devs = np.array(jax.devices())  # global, ordered process-major
     n = devs.size
     assert n % cp_size == 0
+    # cp groups must not span hosts, or cp collectives silently ride DCN
+    # (results stay correct, the ICI-only performance claim does not)
+    assert jax.local_device_count() % cp_size == 0, (
+        f"cp_size={cp_size} does not divide the per-host device count "
+        f"{jax.local_device_count()}; cp collectives would cross hosts (DCN)"
+    )
     return Mesh(devs.reshape(n // cp_size, cp_size), axis_names=("dp", "cp"))
 
 

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Reference-schema cross-validation artifact.
+
+Emits the real-time planner's five output files in EXACTLY the reference's
+`.out` layout (`kinova_planner_realtime/README.md:101-126`,
+`armour_main.cu:320-397`) from THIS framework's pipeline, at the
+`PZ_tests.cu` debug inputs and hard-coded k-slice
+(`PZ_tests.cu:19-21,198`: q0 = kinova home, k = {0.5, 0.6, 0.7, 0, -0.5,
+-0.6, -0.7}), plus a containment report in the style of `debug_script.m`:
+ground-truth f64 RNEA torques / FK link positions sampled inside each time
+interval (with tracking-error and inertia-uncertainty samples) must lie
+inside the exported sliced sets.
+
+Files written to --outdir:
+  armour_main.out                        k_opt (or the fixed k) + time ms
+  armour_main_joint_position_center.out  T*L lines of 3: sliced link centers
+  armour_main_joint_position_radius.out  T*L*3 lines of 6: link gens matrix
+  armour_main_control_input_radius.out   T lines of NUM_FACTORS
+  armour_main_constraints.out            torque centers (T*nf), then
+                                         pos/vel bounds as lb+qe / ub-qe
+  containment_report.json                sampled ground-truth containment
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+PZ_TESTS_K = [0.5, 0.6, 0.7, 0.0, -0.5, -0.6, -0.7]
+PZ_TESTS_Q0 = [0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", default="results/reference_schema")
+    ap.add_argument("--time-steps", type=int, default=128)
+    ap.add_argument("--n-samples", type=int, default=40,
+                    help="ground-truth samples per time interval")
+    ap.add_argument("--f32", action="store_true",
+                    help="export the f32 production pipeline instead of f64")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from armour_tpu.config import PlannerConfig
+    from armour_tpu.dynamics.pz_rnea import build_reachable_sets
+    from armour_tpu.dynamics.rnea import forward_kinematics, rnea
+    from armour_tpu.jrs.bezier import bezier_ref, make_bezier_jrs
+    from armour_tpu.ops.pz import pack_pzs
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    spec = kinova_gen3_spec()
+    cfg = PlannerConfig(num_time_steps=args.time_steps)
+    T, nf, L = cfg.num_time_steps, spec.n_factors, spec.n_joints
+
+    q0 = jnp.asarray(PZ_TESTS_Q0, dtype)
+    qd0 = jnp.zeros(nf, dtype)
+    qdd0 = jnp.zeros(nf, dtype)
+    k = np.asarray(PZ_TESTS_K)
+
+    t0 = time.perf_counter()
+    jrs = make_bezier_jrs(spec, cfg, q0, qd0, qdd0, dtype)
+    rs = build_reachable_sets(spec, cfg, jrs, dtype)
+    links = pack_pzs(rs.link_pz, axis=1)      # (T, L, 3)
+    u = pack_pzs(rs.u_nom, axis=-1)           # (T, nf)
+    link_c, _ = links.slice(jnp.asarray(k, dtype))
+    u_c, _ = u.slice(jnp.asarray(k, dtype))
+    ms = (time.perf_counter() - t0) * 1e3
+
+    link_c = np.asarray(link_c, np.float64)            # (T, L, 3)
+    gens = np.asarray(rs.link_indep_gens, np.float64)  # (T, L, 3, 6)
+    t_rad = np.asarray(rs.torque_radius, np.float64)   # (T, nf)
+    u_c = np.asarray(u_c, np.float64)                  # (T, nf)
+
+    os.makedirs(args.outdir, exist_ok=True)
+
+    def w(path, fn):
+        with open(os.path.join(args.outdir, path), "w") as f:
+            fn(f)
+
+    # armour_main.out: k_opt lines then time in ms (armour_main.cu:326-338)
+    w("armour_main.out", lambda f: f.write(
+        "".join(f"{v:.10g}\n" for v in k) + f"{ms:.10g}"))
+    # joint_position_center.out: T*L lines of 3 (armour_main.cu:341-351)
+    w("armour_main_joint_position_center.out", lambda f: f.writelines(
+        " ".join(f"{v:.10g}" for v in link_c[i, j]) + " \n"
+        for i in range(T) for j in range(L)))
+    # joint_position_radius.out: T*L*3 lines of 6 (armour_main.cu:353-365)
+    w("armour_main_joint_position_radius.out", lambda f: f.writelines(
+        " ".join(f"{v:.10g}" for v in gens[i, j, r]) + " \n"
+        for i in range(T) for j in range(L) for r in range(3)))
+    # control_input_radius.out: T lines of nf (armour_main.cu:367-377)
+    w("armour_main_control_input_radius.out", lambda f: f.writelines(
+        " ".join(f"{v:.10g}" for v in t_rad[i]) + " \n" for i in range(T)))
+    # constraints.out: first T*nf entries are the torque PZ centers
+    # (README.md: "the first NUM TIME STEPS - NUM FACTORS entries are just
+    # the center of the control input PZ"), then pos/vel bounds with the
+    # qe/qde padding (armour_main.cu:380-397)
+    def write_constraints(f):
+        for i in range(T):
+            for j in range(nf):
+                f.write(f"{u_c[i, j]:.6g}\n")
+        for i in range(nf):
+            f.write(f"{spec.pos_limits_lb[i] + spec.qe:.6g}\n")
+            f.write(f"{spec.pos_limits_ub[i] - spec.qe:.6g}\n")
+        for i in range(nf):
+            f.write(f"{-spec.speed_limits[i] + spec.qde:.6g}\n")
+            f.write(f"{spec.speed_limits[i] - spec.qde:.6g}\n")
+    w("armour_main_constraints.out", write_constraints)
+
+    # ---- containment report (debug_script.m role) -----------------------
+    rng = np.random.default_rng(0)
+    dt = cfg.duration / T
+    k_act = jnp.asarray(k * cfg.k_range, jnp.float64)
+    n_viol_t = n_viol_p = 0
+    min_margin_t = np.inf
+    min_margin_p = np.inf
+    for i in range(T):
+        ts = rng.uniform(i * dt, (i + 1) * dt, args.n_samples)
+        for t in ts:
+            qref, qdref, qddref = bezier_ref(
+                jnp.asarray(PZ_TESTS_Q0, jnp.float64),
+                jnp.zeros(nf, jnp.float64), jnp.zeros(nf, jnp.float64),
+                k_act, t, cfg.duration)
+            # tracking-error and inertia-uncertainty samples
+            eq = rng.uniform(-spec.qe, spec.qe, nf)
+            eqd = rng.uniform(-spec.qde, spec.qde, nf)
+            ms_ = rng.uniform(1 - spec.mass_uncertainty,
+                              1 + spec.mass_uncertainty, L)
+            q_s = np.asarray(qref) + eq
+            qd_s = np.asarray(qdref) + eqd
+            qd_a = np.asarray(qdref) + spec.kr * eq
+            qdd_a = np.asarray(qddref) + spec.kr * eqd
+            tau = np.asarray(rnea(
+                spec, jnp.asarray(q_s), jnp.asarray(qd_s), jnp.asarray(qd_a),
+                jnp.asarray(qdd_a), use_gravity=True, use_armature=True,
+                mass=jnp.asarray(spec.mass * ms_),
+                inertia=jnp.asarray(spec.inertia * ms_[:, None, None]),
+            ), np.float64)
+            m_t = (t_rad[i] - np.abs(tau - u_c[i])).min()
+            min_margin_t = min(min_margin_t, m_t)
+            n_viol_t += int((np.abs(tau - u_c[i]) > t_rad[i]).any())
+            # FK link positions inside the sliced link boxes
+            Rw, pw = forward_kinematics(spec, jnp.asarray(q_s))
+            ctr = np.einsum("lij,lj->li", np.asarray(Rw), spec.link_zono_center) \
+                + np.asarray(pw)
+            half = np.abs(gens[i]).sum(axis=-1)          # (L, 3)
+            dev = np.abs(ctr - link_c[i])
+            m_p = (half - dev).min()
+            min_margin_p = min(min_margin_p, m_p)
+            n_viol_p += int((dev > half).any())
+    report = {
+        "pipeline_dtype": "float32" if args.f32 else "float64",
+        "time_steps": T,
+        "k_slice": PZ_TESTS_K,
+        "samples_per_interval": args.n_samples,
+        "torque_containment_violations": n_viol_t,
+        "torque_min_margin_Nm": float(min_margin_t),
+        "link_center_containment_violations": n_viol_p,
+        "link_min_margin_m": float(min_margin_p),
+        "build_ms": round(ms, 1),
+    }
+    with open(os.path.join(args.outdir, "containment_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    assert n_viol_t == 0 and n_viol_p == 0, "containment violated!"
+    print(f"wrote reference-schema artifacts to {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()

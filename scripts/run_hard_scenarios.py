@@ -16,6 +16,7 @@ def main():
     ap.add_argument("--time-steps", type=int, default=128)
     ap.add_argument("--max-iterations", type=int, default=100)
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--out", default="", help="write JSON summary here")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +63,28 @@ def main():
             f"iters={int(np.asarray(s.iterations)[j])} "
             f"plans={int(np.asarray(s.n_feasible_plans)[j])}"
         )
+    if args.out:
+        import json
+
+        rows = [
+            {
+                "scenario": idx,
+                "name": names[idx],
+                "goal_reached": bool(np.asarray(s.goal_reached)[j]),
+                "collision": bool(np.asarray(s.collision)[j]),
+                "torque_violation": bool(np.asarray(s.torque_violation)[j]),
+                "joint_limit_violation": bool(np.asarray(s.joint_limit_violation)[j]),
+                "ultimate_bound_violation": bool(
+                    np.asarray(s.ultimate_bound_violation)[j]),
+                "stopped": bool(np.asarray(s.stopped)[j]),
+                "iterations": int(np.asarray(s.iterations)[j]),
+                "n_feasible_plans": int(np.asarray(s.n_feasible_plans)[j]),
+            }
+            for j, idx in enumerate(args.scenarios)
+        ]
+        with open(args.out, "w") as f:
+            json.dump({"collision_oracle": "mesh", "rows": rows}, f, indent=2)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -17,6 +17,11 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
+# the axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu")
+# at interpreter start, which OUTRANKS the env var — force the config back
+# (a later update wins), otherwise every test silently runs through the
+# remote TPU tunnel
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

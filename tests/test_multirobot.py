@@ -1,6 +1,6 @@
 """Multi-robot-family coverage: URDF-loaded specs through the full planner
-(fetch / panda / kuka, C20 parity — the reference ships these URDFs in
-`urdfs/`)."""
+(fetch / panda / kuka / ur5, C20 parity — the reference ships these URDFs
+in `urdfs/`)."""
 
 import os
 
@@ -17,6 +17,7 @@ URDFS = {
     "panda": "/root/reference/urdfs/panda_arm/panda_arm.urdf",
     "kuka": "/root/reference/urdfs/kuka_arm/kuka_iiwa_arm.urdf",
     "fetch": "/root/reference/urdfs/fetch_arm/fetch_arm_7DOF.urdf",
+    "ur5": "/root/reference/urdfs/ur5_arm/ur5_robot.urdf",
 }
 
 CFG = PlannerConfig(num_time_steps=8, max_obstacles=2,

@@ -3,7 +3,13 @@
 The fused collision value+Jacobian kernel (collision/pallas_kernel.py, the
 TPU re-think of the reference CUDA `checkCollisionKernel`,
 `CollisionChecking.cu:230-299`) must agree with the portable XLA pipeline
-bit-for-bit up to f32 reduction-order roundoff.
+bit-for-bit up to f32 reduction-order roundoff — on VALUES everywhere, and
+on JACOBIANS at every slot where the argmax hyperplane is unique.  At
+(near-)ties between DIFFERENT hyperplanes both selections are valid
+subgradients of the max, and the axis-aligned kinova geometry produces
+exact ties routinely (duplicate generator pairs); those slots are masked
+out of the Jacobian comparison (random-data parity, which has no ties, is
+exact — see `_tie_mask`).
 """
 
 import jax
@@ -18,6 +24,23 @@ from armour_tpu.collision.zonotope import (
 from armour_tpu.config import PlannerConfig
 from armour_tpu.planner.armour import ArmourPlanner
 from armour_tpu.robots.kinova import kinova_gen3_spec
+
+
+def _tie_mask(hp, centers, tol=1e-5):
+    """(T, L, O) True where the winning hyperplane/branch is UNIQUE: the
+    top-2 gap over all 2P candidate affine pieces exceeds tol (f32 roundoff
+    can flip the argmax inside that band, legitimately changing the selected
+    subgradient)."""
+    c_clt = jnp.transpose(centers, (2, 1, 0))
+    Ac = (
+        hp.A[:, 0] * c_clt[0][:, None, :]
+        + hp.A[:, 1] * c_clt[1][:, None, :]
+        + hp.A[:, 2] * c_clt[2][:, None, :]
+    )
+    cand = jnp.concatenate([Ac - hp.dpos, -Ac - hp.dneg], axis=0)  # (2P,L,O,T)
+    top2 = jnp.sort(cand, axis=0)[-2:]
+    gap = top2[1] - top2[0]
+    return jnp.transpose(gap > tol, (2, 0, 1))
 
 
 def test_pallas_collision_kernel_matches_xla(rng):
@@ -52,4 +75,106 @@ def test_pallas_collision_kernel_matches_xla(rng):
         g_p = jnp.transpose(g_p, (2, 0, 1))
         J_p = jnp.transpose(J_p, (3, 1, 2, 0))
         np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=2e-6)
-        np.testing.assert_allclose(np.asarray(J_p), np.asarray(J_x), atol=2e-6)
+        unique = np.asarray(_tie_mask(prob.hp, centers))[..., None]
+        np.testing.assert_allclose(
+            np.asarray(J_p) * unique, np.asarray(J_x) * unique, atol=2e-6)
+
+
+def _build_problem(rng, n_obs=3):
+    spec = kinova_gen3_spec()
+    cfg = PlannerConfig(num_time_steps=16, max_obstacles=8)
+    planner = ArmourPlanner(spec, cfg, dtype=jnp.float32)
+    q0 = jnp.asarray(rng.uniform(-1, 1, 7), jnp.float32)
+    obs = ObstacleSet.from_boxes(
+        rng.uniform(-0.6, 0.6, (n_obs, 3)),
+        rng.uniform(0.05, 0.3, (n_obs, 3)),
+        8,
+        jnp.float32,
+    )
+    return planner._make_build_fn()(
+        q0, jnp.zeros(7, jnp.float32), jnp.zeros(7, jnp.float32),
+        obs.zonos, obs.mask,
+    )
+
+
+def test_pallas_multi_kernels_match_xla(rng):
+    """The planner's production TPU path uses the START-BATCHED kernels
+    (`fused_collision_value_jac_multi` / `fused_collision_values_multi`); an
+    indexing or tie-break bug there would corrupt Jacobians on TPU only.
+    Parity vs vmap of the XLA path, interpret mode."""
+    from armour_tpu.collision.pallas_kernel import (
+        fused_collision_value_jac_multi,
+        fused_collision_values_multi,
+    )
+    from armour_tpu.collision.zonotope import collision_constraint_values
+
+    prob = _build_problem(rng)
+    S = 4
+    K = jnp.asarray(rng.uniform(-0.9, 0.9, (S, 7)), jnp.float32)
+    centers, _, dcenters = prob.links.slice_with_jac_multi(K)  # (S,T,L,3)
+
+    g_x, J_x = jax.vmap(
+        lambda c, dc: collision_constraints_with_jac(prob.hp, c, dc, impl="xla")
+    )(centers, dcenters)
+    gv_x = jax.vmap(lambda c: collision_constraint_values(prob.hp, c))(centers)
+
+    c_sclt = jnp.transpose(centers, (0, 3, 2, 1))
+    dc_snclt = jnp.transpose(dcenters, (0, 1, 4, 3, 2))
+    g_p, J_p = fused_collision_value_jac_multi(
+        prob.hp.A, prob.hp.dpos, prob.hp.dneg, c_sclt, dc_snclt, interpret=True
+    )
+    g_p = jnp.where(prob.hp.obs_mask[None, None, :, None], g_p, -1e3)
+    J_p = J_p * prob.hp.obs_mask[None, None, None, :, None]
+    g_p = jnp.transpose(g_p, (0, 3, 1, 2))
+    J_p = jnp.transpose(J_p, (0, 4, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=2e-6)
+    unique = np.stack(
+        [np.asarray(_tie_mask(prob.hp, centers[s])) for s in range(S)]
+    )[..., None]
+    np.testing.assert_allclose(
+        np.asarray(J_p) * unique, np.asarray(J_x) * unique, atol=2e-6)
+
+    gv_p = fused_collision_values_multi(
+        prob.hp.A, prob.hp.dpos, prob.hp.dneg, c_sclt, interpret=True
+    )
+    gv_p = jnp.where(prob.hp.obs_mask[None, None, :, None], gv_p, -1e3)
+    gv_p = jnp.transpose(gv_p, (0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_x), atol=2e-6)
+
+
+def test_pallas_multi_kernel_tie_break(rng):
+    """Duplicated obstacle banks (identical hyperplane slabs in two O slots)
+    must produce identical values in both slots and tie-masked Jacobian
+    parity in every start lane — a regression net for block-indexing bugs
+    in the multi kernel's O axis."""
+    from armour_tpu.collision.pallas_kernel import fused_collision_value_jac_multi
+    from armour_tpu.collision.zonotope import collision_constraints_with_jac_multi
+
+    prob = _build_problem(rng, n_obs=2)
+    # duplicate obstacle rows -> duplicated hyperplane banks -> exact ties
+    hp = prob.hp._replace(
+        A=prob.hp.A.at[:, :, :, 1].set(prob.hp.A[:, :, :, 0]),
+        dpos=prob.hp.dpos.at[:, :, 1].set(prob.hp.dpos[:, :, 0]),
+        dneg=prob.hp.dneg.at[:, :, 1].set(prob.hp.dneg[:, :, 0]),
+    )
+    S = 3
+    K = jnp.asarray(rng.uniform(-0.9, 0.9, (S, 7)), jnp.float32)
+    centers, _, dcenters = prob.links.slice_with_jac_multi(K)
+    g_x, J_x = collision_constraints_with_jac_multi(
+        hp, centers, dcenters, impl="xla"
+    )
+    c_sclt = jnp.transpose(centers, (0, 3, 2, 1))
+    dc_snclt = jnp.transpose(dcenters, (0, 1, 4, 3, 2))
+    g_p, J_p = fused_collision_value_jac_multi(
+        hp.A, hp.dpos, hp.dneg, c_sclt, dc_snclt, interpret=True
+    )
+    g_p = jnp.where(hp.obs_mask[None, None, :, None], g_p, -1e3)
+    J_p = J_p * hp.obs_mask[None, None, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(g_p, (0, 3, 1, 2))), np.asarray(g_x), atol=2e-6)
+    unique = np.stack(
+        [np.asarray(_tie_mask(hp, centers[s])) for s in range(S)]
+    )[..., None]
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(J_p, (0, 4, 2, 3, 1))) * unique,
+        np.asarray(J_x) * unique, atol=2e-6)

@@ -1,0 +1,159 @@
+"""Measured f32-vs-f64 soundness of the numeric slack (SURVEY.md §7 hard
+part (c): "validated error padding").
+
+The TPU deployment path runs the reachable-set pipeline in f32 while the
+reference uses f64 + Boost directed rounding (`Parameters.h`, `Headers.h`).
+Soundness is restored by constant padding (`PlannerConfig
+.collision_numeric_slack` / `.torque_numeric_slack` / the state acceptance
+threshold): these tests MEASURE the actual f32-vs-f64 error of every
+constraint surface at production sizes (T=128) and assert each slack
+dominates it with >= 2x margin, so the padding is a verified bound rather
+than a hand-tuned guess.
+
+Soundness criterion (collision): the f32 constraint WITH slack must upper-
+bound the exact f64 constraint pointwise, g32s(k) >= g64(k) - because then
+g32s <= 0 (planner accepts) implies g64 <= 0 (truly separated).  Same
+shape for torque bounds and the position/velocity extrema.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.collision.zonotope import ObstacleSet, collision_constraint_values
+from armour_tpu.config import PlannerConfig
+from armour_tpu.planner.armour import ArmourPlanner
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+SPEC = kinova_gen3_spec()
+CFG = PlannerConfig()  # production: T=128, default slacks
+CFG0 = dataclasses.replace(
+    CFG, collision_numeric_slack=0.0, torque_numeric_slack=0.0
+)
+
+N_PROBLEMS = 2
+N_KSAMPLES = 8
+
+
+def _problems(rng):
+    q_home = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    out = []
+    for _ in range(N_PROBLEMS):
+        q0 = q_home + rng.uniform(-0.4, 0.4, 7)
+        qd0 = rng.uniform(-0.3, 0.3, 7)
+        qdd0 = rng.uniform(-0.5, 0.5, 7)
+        obs = ObstacleSet.from_boxes(
+            rng.uniform(-0.6, 0.6, (6, 3)),
+            rng.uniform(0.08, 0.35, (6, 3)),
+            8,
+        )
+        out.append((q0, qd0, qdd0, obs))
+    return out
+
+
+@pytest.fixture(scope="module")
+def builds():
+    """f64 no-slack (exact reference surface), f32 no-slack (to measure the
+    raw error), f32 with production slack (the deployed surface)."""
+    rng = np.random.default_rng(7)
+    b64 = jax.jit(ArmourPlanner(SPEC, CFG0, jnp.float64)._make_build_fn())
+    b32_0 = jax.jit(ArmourPlanner(SPEC, CFG0, jnp.float32)._make_build_fn())
+    b32_s = jax.jit(ArmourPlanner(SPEC, CFG, jnp.float32)._make_build_fn())
+    probs = []
+    for q0, qd0, qdd0, obs in _problems(rng):
+        a64 = (jnp.asarray(q0), jnp.asarray(qd0), jnp.asarray(qdd0),
+               obs.zonos.astype(jnp.float64), obs.mask)
+        a32 = (jnp.asarray(q0, jnp.float32), jnp.asarray(qd0, jnp.float32),
+               jnp.asarray(qdd0, jnp.float32),
+               obs.zonos.astype(jnp.float32), obs.mask)
+        probs.append((b64(*a64), b32_0(*a32), b32_s(*a32)))
+    ks = np.random.default_rng(8).uniform(-1, 1, (N_KSAMPLES, 7))
+    return probs, ks
+
+
+def _collision_g(prob, k):
+    centers, _ = prob.links.slice(jnp.asarray(k, prob.links.c.dtype))
+    return np.asarray(collision_constraint_values(prob.hp, centers), np.float64)
+
+
+def test_collision_slack_dominates_f32_error(builds):
+    probs, ks = builds
+    raw_err = 0.0   # f64 constraint minus f32-no-slack constraint
+    residual = 0.0  # f64 constraint minus f32-with-slack constraint
+    for p64, p32_0, p32_s in probs:
+        for k in ks:
+            g64 = _collision_g(p64, k)
+            raw_err = max(raw_err, float((g64 - _collision_g(p32_0, k)).max()))
+            residual = max(residual, float((g64 - _collision_g(p32_s, k)).max()))
+    # the deployed (slack-padded) f32 surface upper-bounds the exact one...
+    assert residual <= 0.0, f"f32+slack under-approximates by {residual}"
+    # ...and the configured slack carries >= 2x margin over the measured error
+    assert raw_err <= 0.5 * CFG.collision_numeric_slack, (
+        f"measured f32 collision error {raw_err:.3e} vs slack "
+        f"{CFG.collision_numeric_slack:.3e}"
+    )
+
+
+def test_torque_slack_dominates_f32_error(builds):
+    probs, ks = builds
+    raw_hi = raw_lo = 0.0
+    res_hi = res_lo = 0.0
+    for p64, p32_0, p32_s in probs:
+        for k in ks:
+            c64, _ = p64.u.slice(jnp.asarray(k))
+            c32, _ = p32_0.u.slice(jnp.asarray(k, jnp.float32))
+            c32s, _ = p32_s.u.slice(jnp.asarray(k, jnp.float32))
+            hi64 = np.asarray(c64, np.float64) + np.asarray(p64.t_rad, np.float64)
+            lo64 = np.asarray(c64, np.float64) - np.asarray(p64.t_rad, np.float64)
+            hi32 = np.asarray(c32, np.float64) + np.asarray(p32_0.t_rad, np.float64)
+            lo32 = np.asarray(c32, np.float64) - np.asarray(p32_0.t_rad, np.float64)
+            hi32s = np.asarray(c32s, np.float64) + np.asarray(p32_s.t_rad, np.float64)
+            lo32s = np.asarray(c32s, np.float64) - np.asarray(p32_s.t_rad, np.float64)
+            raw_hi = max(raw_hi, float((hi64 - hi32).max()))
+            raw_lo = max(raw_lo, float((lo32 - lo64).max()))
+            res_hi = max(res_hi, float((hi64 - hi32s).max()))
+            res_lo = max(res_lo, float((lo32s - lo64).max()))
+    # the deployed f32 torque tube contains the exact f64 tube
+    assert res_hi <= 0.0 and res_lo <= 0.0, (res_hi, res_lo)
+    raw = max(raw_hi, raw_lo)
+    assert raw <= 0.5 * CFG.torque_numeric_slack, (
+        f"measured f32 torque error {raw:.3e} vs slack "
+        f"{CFG.torque_numeric_slack:.3e}"
+    )
+
+
+def test_state_extrema_f32_error_within_threshold(builds):
+    """Joint position/velocity extremum closed forms: the f32 roundoff the
+    state acceptance threshold absorbs must be measured below it."""
+    from armour_tpu.jrs.bezier import (
+        joint_position_extrema,
+        joint_velocity_extrema,
+        make_bezier_jrs,
+    )
+
+    rng = np.random.default_rng(9)
+    err = 0.0
+    for q0, qd0, qdd0, _ in _problems(rng):
+        j64 = make_bezier_jrs(SPEC, CFG0, jnp.asarray(q0), jnp.asarray(qd0),
+                              jnp.asarray(qdd0), jnp.float64)
+        j32 = make_bezier_jrs(SPEC, CFG, jnp.asarray(q0, jnp.float32),
+                              jnp.asarray(qd0, jnp.float32),
+                              jnp.asarray(qdd0, jnp.float32), jnp.float32)
+        for k in np.random.default_rng(10).uniform(-1, 1, (N_KSAMPLES, 7)):
+            for fn in (joint_position_extrema, joint_velocity_extrema):
+                lo64, hi64 = fn(j64, jnp.asarray(k))
+                lo32, hi32 = fn(j32, jnp.asarray(k, jnp.float32))
+                err = max(
+                    err,
+                    float(np.abs(np.asarray(lo64, np.float64)
+                                 - np.asarray(lo32, np.float64)).max()),
+                    float(np.abs(np.asarray(hi64, np.float64)
+                                 - np.asarray(hi32, np.float64)).max()),
+                )
+    assert err <= 0.5 * CFG.state_violation_threshold, (
+        f"measured f32 extremum error {err:.3e} vs threshold "
+        f"{CFG.state_violation_threshold:.3e}"
+    )
