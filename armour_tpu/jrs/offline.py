@@ -1,0 +1,150 @@
+"""Loader for the reference's OFFLINE ARMTD joint reachable sets.
+
+The ARMTD comparison planner consumes precomputed CORA zonotopes over
+[cos q, sin q, q, qd, k_a, k_v] — one .mat per initial-velocity key c_kvi,
+100 time steps each (`offline_jrs/create_orig_offline_jrs.m`,
+`load_offline_jrs.m:82-100`).  scipy cannot read CORA's MCOS class objects
+directly, but the numeric payload (each zonotope's 6xN Z = [center,
+generators] matrix) lives in the file's MCOS subsystem stream, which this
+module parses.  Used by `scripts/armtd_offline_parity.py` to cross-validate
+this framework's ONLINE 'orig' JRS (`armour_tpu/jrs/armtd.py`) against the
+reference's offline sets.
+
+Reference slicing semantics reproduced here (`load_offline_jrs.m:82-100`):
+pick the file with the key nearest the actual qd0, `zonotope_slice` the
+k_v dimension (6) at qd0, rotate the (cos, sin) block by the initial angle
+q0 and shift the q dimension by q0.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+from typing import NamedTuple
+
+import numpy as np
+
+OFFLINE_JRS_DIR = (
+    "/root/reference/kinova_src/kinova_simulator_interfaces/"
+    "kinova_planner_realtime_armtd_comparison/offline_jrs/"
+    "orig_parameterization"
+)
+
+# zonotope state dims (create_orig_offline_jrs.m)
+DIM_COS, DIM_SIN, DIM_Q, DIM_QD, DIM_KA, DIM_KV = range(6)
+
+
+class OfflineJRS(NamedTuple):
+    """One velocity-key file: Z[t] is the 6 x (1 + n_gen) zonotope matrix
+    of time step t (column 0 = center)."""
+
+    c_kvi: float
+    t_plan: float
+    t_total: float
+    Z: list  # length 100
+
+
+def _extract_mcos_f64(path: str) -> list:
+    """All 6-row float64 matrices from the .mat's MCOS subsystem, in file
+    order — exactly the 100 per-time-step zonotope Z matrices."""
+    import scipy.io as sio
+    from scipy.io.matlab._mio5 import MatFile5Reader
+
+    m = sio.loadmat(path)
+    fw = m["__function_workspace__"]
+    stream = io.BytesIO(fw.tobytes())
+    rdr = MatFile5Reader(stream)
+    rdr.byte_order = "<"
+    rdr.mat_stream.seek(8)
+    rdr.initialize_read()
+    hdr, _ = rdr.read_var_header()
+    tree = rdr.read_var_array(hdr)
+
+    found: list = []
+
+    def walk(x, depth=0):
+        if depth > 8:
+            return
+        if isinstance(x, np.ndarray):
+            if x.dtype == np.float64 and x.ndim == 2 and x.shape[0] == 6:
+                found.append(np.array(x))
+            elif x.dtype == object:
+                for y in x.flat:
+                    walk(y, depth + 1)
+            elif x.dtype.names:
+                for n in x.dtype.names:
+                    for y in np.atleast_1d(x[n]).flat:
+                        walk(y, depth + 1)
+
+    walk(tree)
+    return found
+
+
+def available(dirpath: str = OFFLINE_JRS_DIR) -> bool:
+    return os.path.isdir(dirpath) and bool(glob.glob(os.path.join(dirpath, "JRS_*.mat")))
+
+
+def load_offline_jrs(qd0_j: float, dirpath: str = OFFLINE_JRS_DIR) -> OfflineJRS:
+    """Nearest-velocity-key file for one joint (`load_offline_jrs.m:84-86`)."""
+    import scipy.io as sio
+
+    files = glob.glob(os.path.join(dirpath, "JRS_*.mat"))
+    keys = np.array([float(os.path.basename(f)[4:-4]) for f in files])
+    f = files[int(np.argmin(np.abs(keys - qd0_j)))]
+    m = sio.loadmat(f)
+    Z = _extract_mcos_f64(f)
+    assert len(Z) == 100, f"{f}: expected 100 zonotopes, got {len(Z)}"
+    return OfflineJRS(
+        c_kvi=float(m["current_c_kvi"].squeeze()),
+        t_plan=float(m["t_plan"].squeeze()),
+        t_total=float(m["t_total"].squeeze()),
+        Z=Z,
+    )
+
+
+def zonotope_slice(Z: np.ndarray, dim: int, value: float) -> np.ndarray:
+    """CORA zonotope_slice: substitute the slice generator(s) of ``dim`` at
+    ``value`` (center shifts by lambda * g, generators removed)."""
+    Z = np.array(Z)
+    c, G = Z[:, :1], Z[:, 1:]
+    idx = np.nonzero(G[dim] != 0)[0]
+    assert idx.size == 1, f"dim {dim}: expected one slice generator, got {idx.size}"
+    g = G[:, idx[0]]
+    lam = (value - c[dim, 0]) / g[dim]
+    assert -1.0 - 1e-9 <= lam <= 1.0 + 1e-9, (
+        f"slice value {value} outside the set (lambda={lam})")
+    c = c[:, 0] + lam * g
+    G = np.delete(G, idx[0], axis=1)
+    return np.concatenate([c[:, None], G], axis=1)
+
+
+def sliced_cos_sin_intervals(jrs: OfflineJRS, q0_j: float, qd0_j: float,
+                             k_actual: float):
+    """Per-time-step [lo, hi] of cos q and sin q after slicing k_v at qd0,
+    slicing k_a at k_actual, and rotating by the initial angle q0
+    (`load_offline_jrs.m:88-100` + the NLP's k slice).
+
+    Returns (cos_lo, cos_hi, sin_lo, sin_hi, g_ka): (100,) arrays plus the
+    set's k_a generator magnitude (the offline mode's g_k)."""
+    T = len(jrs.Z)
+    cos_lo = np.zeros(T)
+    cos_hi = np.zeros(T)
+    sin_lo = np.zeros(T)
+    sin_hi = np.zeros(T)
+    cq, sq = np.cos(q0_j), np.sin(q0_j)
+    g_ka = None
+    for t in range(T):
+        Z = zonotope_slice(jrs.Z[t], DIM_KV, qd0_j)
+        ka_col = np.nonzero(Z[DIM_KA, 1:] != 0)[0]
+        if g_ka is None:
+            g_ka = float(np.abs(Z[DIM_KA, 1 + ka_col[0]]))
+        Z = zonotope_slice(Z, DIM_KA, k_actual)
+        # rotate the (cos, sin) block by q0 (A matrix, load_offline_jrs.m:92)
+        cos_row = cq * Z[DIM_COS] - sq * Z[DIM_SIN]
+        sin_row = sq * Z[DIM_COS] + cq * Z[DIM_SIN]
+        for row, lo_a, hi_a in ((cos_row, cos_lo, cos_hi), (sin_row, sin_lo, sin_hi)):
+            rad = np.abs(row[1:]).sum()
+            lo_a[t] = row[0] - rad
+            hi_a[t] = row[0] + rad
+    return cos_lo, cos_hi, sin_lo, sin_hi, g_ka

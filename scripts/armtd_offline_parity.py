@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""ARMTD offline-JRS parity artifact (VERDICT round-1 gap #4).
+
+The reference's ARMTD comparison planner consumes OFFLINE CORA-computed
+joint reachable sets (`offline_jrs/*.mat`, nearest-velocity-key snapping);
+this framework builds the 'orig' JRS ONLINE (`armour_tpu/jrs/armtd.py`).
+The two must describe the same trajectories.  This script, for a sweep of
+(qd0, k) and q0 = 0:
+
+1. samples ground-truth cos/sin of the constant-accel + brake trajectory
+   densely inside each of the 100 time intervals and asserts containment
+   in BOTH the reference's sliced offline set and our online set — the
+   comparability cross-check;
+2. reports the interval-width ratio (ours / reference) per time step —
+   the online build should be tighter or comparable (no velocity-key
+   snapping, exact qd0).
+
+Writes a JSON artifact with the per-step bounds and the summary table.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--qd0", type=float, nargs="*",
+                    default=[0.0, 0.35, -0.8, 1.25])
+    ap.add_argument("--k-fracs", type=float, nargs="*", default=[0.0, 0.6, -0.9],
+                    help="k_actual as a fraction of min(g_k_ours, g_k_ref)")
+    ap.add_argument("--samples-per-interval", type=int, default=50)
+    ap.add_argument("--out", default="results/armtd_offline_parity.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from armour_tpu.config import PlannerConfig
+    from armour_tpu.jrs.armtd import armtd_ref, make_armtd_jrs
+    from armour_tpu.jrs.offline import (
+        available,
+        load_offline_jrs,
+        sliced_cos_sin_intervals,
+    )
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+
+    if not available():
+        raise SystemExit("reference offline_jrs .mat files not mounted")
+
+    spec = kinova_gen3_spec()
+    # the offline sets use 100 time steps over [0, 1] (t_plan 0.5)
+    cfg = PlannerConfig(num_time_steps=100)
+    T = cfg.num_time_steps
+    dt = cfg.duration / T
+    rng = np.random.default_rng(0)
+
+    rows = []
+    n_viol_ref = n_viol_ours = 0
+    for qd0_j in args.qd0:
+        off = load_offline_jrs(qd0_j)
+        q0 = jnp.zeros(7)
+        qd0 = jnp.full(7, qd0_j)
+        ours = make_armtd_jrs(spec, cfg, q0, qd0, jnp.float64)
+        g_ours = float(ours.k_range[0])
+        # probe g_ka from the set once
+        _, _, _, _, g_ref = sliced_cos_sin_intervals(off, 0.0, qd0_j, 0.0)
+        for frac in args.k_fracs:
+            k_act = frac * min(g_ours, g_ref)
+            c_lo, c_hi, s_lo, s_hi, _ = sliced_cos_sin_intervals(
+                off, 0.0, qd0_j, k_act)
+            # our set sliced at the same physical k
+            kn = k_act / g_ours
+            cz = ours.cos_q[0]
+            sz = ours.sin_q[0]
+            oc = np.asarray(cz.c + cz.G[0] * kn, float)
+            orad = np.asarray(cz.r, float)
+            osc = np.asarray(sz.c + sz.G[0] * kn, float)
+            osrad = np.asarray(sz.r, float)
+
+            # ground truth sampled inside each interval
+            gt_c_lo = np.zeros(T); gt_c_hi = np.zeros(T)
+            gt_s_lo = np.zeros(T); gt_s_hi = np.zeros(T)
+            for t in range(T):
+                ts = rng.uniform(t * dt, (t + 1) * dt,
+                                 args.samples_per_interval)
+                q, _, _ = armtd_ref(0.0, qd0_j, k_act, jnp.asarray(ts),
+                                    cfg.t_plan, cfg.duration)
+                q = np.asarray(q, float)
+                gt_c_lo[t], gt_c_hi[t] = np.cos(q).min(), np.cos(q).max()
+                gt_s_lo[t], gt_s_hi[t] = np.sin(q).min(), np.sin(q).max()
+
+            tol = 1e-9
+            v_ref = int(((gt_c_lo < c_lo - tol) | (gt_c_hi > c_hi + tol)
+                         | (gt_s_lo < s_lo - tol) | (gt_s_hi > s_hi + tol)).sum())
+            v_ours = int(((gt_c_lo < oc - orad - tol) | (gt_c_hi > oc + orad + tol)
+                          | (gt_s_lo < osc - osrad - tol)
+                          | (gt_s_hi > osc + osrad + tol)).sum())
+            n_viol_ref += v_ref
+            n_viol_ours += v_ours
+            ratio = ((2 * orad + 2 * osrad) / np.maximum(
+                (c_hi - c_lo) + (s_hi - s_lo), 1e-12))
+            rows.append({
+                "qd0": qd0_j,
+                "c_kvi_key": off.c_kvi,
+                "k_actual": float(k_act),
+                "g_k_online": g_ours,
+                "g_k_offline": g_ref,
+                "gt_violations_offline": v_ref,
+                "gt_violations_online": v_ours,
+                "mean_width_ratio_online_over_offline": float(ratio.mean()),
+                "max_width_ratio_online_over_offline": float(ratio.max()),
+            })
+            print(f"qd0={qd0_j:+.3f} (key {off.c_kvi:+.4f}) k={k_act:+.4f}: "
+                  f"gt-violations ref={v_ref} ours={v_ours}, "
+                  f"width ratio mean={ratio.mean():.3f} max={ratio.max():.3f}")
+
+    summary = {
+        "time_steps": T,
+        "samples_per_interval": args.samples_per_interval,
+        "total_gt_violations_offline": n_viol_ref,
+        "total_gt_violations_online": n_viol_ours,
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"wrote {args.out}")
+    assert n_viol_ours == 0, "online JRS containment violated"
+
+
+if __name__ == "__main__":
+    main()

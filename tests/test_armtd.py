@@ -103,3 +103,58 @@ def test_armtd_blocked_infeasible():
     )
     res = planner.plan(q0, np.zeros(7), np.zeros(7), q0 + 0.05, world)
     assert not bool(res.feasible)
+
+
+def test_offline_jrs_parity_containment():
+    """Cross-validation vs the reference's OFFLINE ARMTD sets
+    (`offline_jrs/*.mat`): ground-truth trajectory cos/sin sampled inside
+    each time interval must be contained in BOTH the reference's sliced
+    offline zonotopes and our online JRS, and our online set must be no
+    wider (it slices the exact qd0 instead of snapping to a velocity key).
+    Full sweep artifact: scripts/armtd_offline_parity.py."""
+    import pytest
+
+    from armour_tpu.config import PlannerConfig
+    from armour_tpu.jrs.armtd import make_armtd_jrs
+    from armour_tpu.jrs.offline import (
+        available,
+        load_offline_jrs,
+        sliced_cos_sin_intervals,
+    )
+
+    if not available():
+        pytest.skip("reference offline_jrs .mat files not mounted")
+
+    qd0_j = 0.35
+    cfg = PlannerConfig(num_time_steps=100)
+    off = load_offline_jrs(qd0_j)
+    assert off.t_plan == cfg.t_plan and off.t_total == cfg.duration
+    ours = make_armtd_jrs(SPEC, cfg, jnp.zeros(7), jnp.full(7, qd0_j),
+                          jnp.float64)
+    g_ours = float(ours.k_range[0])
+    c_lo, c_hi, s_lo, s_hi, g_ref = sliced_cos_sin_intervals(
+        off, 0.0, qd0_j, 0.0)
+    k_act = 0.5 * min(g_ours, g_ref)
+    c_lo, c_hi, s_lo, s_hi, _ = sliced_cos_sin_intervals(off, 0.0, qd0_j, k_act)
+
+    kn = k_act / g_ours
+    cz, sz = ours.cos_q[0], ours.sin_q[0]
+    oc = np.asarray(cz.c + cz.G[0] * kn)
+    orad = np.asarray(cz.r)
+    osc = np.asarray(sz.c + sz.G[0] * kn)
+    osrad = np.asarray(sz.r)
+
+    rng = np.random.default_rng(0)
+    dt = cfg.duration / 100
+    for t in range(0, 100, 7):
+        ts = rng.uniform(t * dt, (t + 1) * dt, 30)
+        q = np.asarray(armtd_ref(0.0, qd0_j, k_act, jnp.asarray(ts),
+                                 cfg.t_plan, cfg.duration)[0])
+        for gt, lo_r, hi_r, lo_o, hi_o in (
+            (np.cos(q), c_lo[t], c_hi[t], oc[t] - orad[t], oc[t] + orad[t]),
+            (np.sin(q), s_lo[t], s_hi[t], osc[t] - osrad[t], osc[t] + osrad[t]),
+        ):
+            assert gt.min() >= lo_r - 1e-9 and gt.max() <= hi_r + 1e-9
+            assert gt.min() >= lo_o - 1e-9 and gt.max() <= hi_o + 1e-9
+    # tighter-or-equal on total width
+    assert (2 * orad + 2 * osrad).mean() <= ((c_hi - c_lo) + (s_hi - s_lo)).mean()
