@@ -240,6 +240,59 @@ def collision_constraints_with_jac(
     return jnp.transpose(g, (2, 0, 1)), jnp.transpose(J, (3, 1, 2, 0))
 
 
+def smooth_collision_constraints_with_jac(
+    hp: BufferedHyperplanes,
+    link_centers: jnp.ndarray,   # (T, L, 3)
+    dlink_centers: jnp.ndarray,  # (n, T, L, 3)
+    tau: float,
+):
+    """SMOOTH variant of the obstacle constraint (the role of the
+    reference's optional Borrelli-dual formulation,
+    `uarmtd_planner.m:723-743,810-856`, which adds one dual vector per
+    (time, link, obstacle) block as extra fmincon decision variables to
+    avoid differentiating through the max).
+
+    TPU-native form: no extra decision variables — the hard max over the
+    2P affine separation pieces is replaced by the smooth LOWER bound
+    LSE(p/tau)*tau - tau*log(2P) <= max(p), so that
+
+        g_s = tau*log(2P) - tau*LSE(pieces/tau) >= g_hard,
+
+    i.e. the smooth constraint is MORE conservative (g_s <= 0 implies the
+    hard separation holds), everywhere-differentiable, and within
+    tau*log(2P) of the hard one.  The Jacobian is the softmax-weighted
+    combination of the signed normals (the one-hot argmax select becomes
+    a soft select).
+
+    Returns (g: (T, L, O), J: (T, L, O, n)).
+    """
+    c_clt = jnp.transpose(link_centers, (2, 1, 0))
+    Ac = (
+        hp.A[:, 0] * c_clt[0][:, None, :]
+        + hp.A[:, 1] * c_clt[1][:, None, :]
+        + hp.A[:, 2] * c_clt[2][:, None, :]
+    )                                                        # (P, L, O, T)
+    pieces = jnp.concatenate([Ac - hp.dpos, -Ac - hp.dneg], axis=0)  # (2P,...)
+    m = jnp.max(pieces, axis=0)
+    w = jnp.exp((pieces - m[None]) / tau)                    # (2P, L, O, T)
+    Z = jnp.sum(w, axis=0)
+    gap = tau * float(np.log(pieces.shape[0]))
+    g = gap - (m + tau * jnp.log(Z))
+    g = jnp.where(hp.obs_mask[None, :, None], g, -1e3)
+
+    # dg/dc = -sum_i softmax_i dp_i/dc; the + branch contributes +A_p, the
+    # - branch -A_p, so dg/dc = sum_p (sm_neg - sm_pos)_p A_p — the soft
+    # version of the hard path's signed one-hot select
+    P = hp.A.shape[0]
+    sm = w / Z[None]
+    wsel = sm[P:] - sm[:P]                                   # (P, L, O, T)
+    A_sel = jnp.einsum("plot,pclot->clot", wsel, hp.A)
+    A_sel = A_sel * hp.obs_mask[None, None, :, None]
+    dc_nclt = jnp.transpose(dlink_centers, (0, 3, 2, 1))
+    J = jnp.einsum("clot,nclt->nlot", A_sel, dc_nclt)
+    return jnp.transpose(g, (2, 0, 1)), jnp.transpose(J, (3, 1, 2, 0))
+
+
 def collision_constraints_with_jac_multi(
     hp: BufferedHyperplanes,
     link_centers: jnp.ndarray,   # (S, T, L, 3) per-start sliced centers

@@ -72,6 +72,14 @@ class PlannerConfig:
     collision_numeric_slack: float = 1e-5
     torque_numeric_slack: float = 1e-3
 
+    # smooth-collision mode (the role of the reference's optional
+    # Borrelli-dual formulation, `uarmtd_planner.m:723-743,810-856`): when
+    # > 0, the NLP's collision block uses the everywhere-differentiable,
+    # provably-conservative log-sum-exp bound with this temperature
+    # (meters; conservatism gap = tau * log(72)).  0 keeps the hard max +
+    # argmax-select Jacobian (the default, also the Pallas fast path).
+    smooth_collision_tau: float = 0.0
+
     # batched NLP solver settings (replaces Ipopt: armour_main.cu:254-290)
     nlp_tolerance: float = 1e-4
     nlp_outer_iters: int = 8

@@ -270,9 +270,19 @@ class ArmourPlanner:
                     vals.append((gc + gr).reshape(S, -1))
                     jacs.append(jnp.swapaxes(dgc.reshape(S, dgc.shape[1], -1), 1, 2))
                 centers, _, dcenters = prob.links.slice_with_jac_multi(K)
-                g, Jg = collision_constraints_with_jac_multi(
-                    prob.hp, centers, dcenters
-                )                                    # (S,T,L,O), (S,T,L,O,n)
+                if cfg.smooth_collision_tau > 0.0:
+                    from armour_tpu.collision.zonotope import (
+                        smooth_collision_constraints_with_jac,
+                    )
+
+                    g, Jg = jax.vmap(
+                        lambda c, dc: smooth_collision_constraints_with_jac(
+                            prob.hp, c, dc, cfg.smooth_collision_tau)
+                    )(centers, dcenters)
+                else:
+                    g, Jg = collision_constraints_with_jac_multi(
+                        prob.hp, centers, dcenters
+                    )                                # (S,T,L,O), (S,T,L,O,n)
                 if collision_axis is not None:
                     g = jnp.moveaxis(jax.lax.all_gather(g, collision_axis), 0, 1)
                     Jg = jnp.moveaxis(jax.lax.all_gather(Jg, collision_axis), 0, 1)

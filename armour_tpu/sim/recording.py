@@ -40,6 +40,9 @@ class IterationRecord(NamedTuple):
     qd_ref: np.ndarray
     u: np.ndarray
     torque_radius: np.ndarray  # (T, nf)
+    q0p: np.ndarray            # planning state (reference state at t_move)
+    qd0p: np.ndarray
+    qdd0p: np.ndarray
 
 
 @dataclasses.dataclass
@@ -71,6 +74,11 @@ class EpisodeRecording:
             t=np.concatenate(
                 [r.t + i * 0.5 for i, r in enumerate(self.records)]
             ) if n else np.zeros(0),
+            torque_radius=np.stack([r.torque_radius for r in self.records])
+            if n else np.zeros((0, 0, 7)),
+            q0p=np.stack([r.q0p for r in self.records]) if n else np.zeros((0, 7)),
+            qd0p=np.stack([r.qd0p for r in self.records]) if n else np.zeros((0, 7)),
+            qdd0p=np.stack([r.qdd0p for r in self.records]) if n else np.zeros((0, 7)),
         )
 
     def export_hardware_csv(self, path, dt: float = 0.01):
@@ -150,6 +158,8 @@ def run_recorded_episode(
                 t=np.asarray(log.t), q=np.asarray(log.q), qd=np.asarray(log.qd),
                 q_ref=np.asarray(log.q_ref), qd_ref=np.asarray(log.qd_ref),
                 u=np.asarray(log.u), torque_radius=np.asarray(plan.torque_radius),
+                q0p=np.asarray(q0p), qd0p=np.asarray(qd0p),
+                qdd0p=np.asarray(qdd0p),
             )
         )
         if verbose:

@@ -47,19 +47,104 @@ def plot_tracking(rec: dict, spec, out_path):
 
 
 def plot_torques(rec: dict, spec, out_path):
-    """Applied torques vs limits."""
+    """Applied torques vs limits, with the PLANNED control-input-radius
+    margin overlaid when the recording carries it (post_sim_plotting.m's
+    input-vs-radius figure): the planner certifies |u_nominal| <=
+    limit - radius(t), so the tightened-limit staircase shows the margin
+    reserved for the robust term + model uncertainty."""
     if not HAVE_MPL:
         return None
     t = rec["t"]
     nf = rec["u"].shape[1]
     fig, axes = plt.subplots(nf, 1, figsize=(10, 1.6 * nf), sharex=True)
+    t_rad = rec.get("torque_radius")
     for j in range(nf):
         axes[j].plot(t, rec["u"][:, j], lw=0.8)
         axes[j].axhline(spec.torque_limits[j], color="r", ls="--", lw=1)
         axes[j].axhline(-spec.torque_limits[j], color="r", ls="--", lw=1)
+        if t_rad is not None and t_rad.size:
+            # (n_iter, T, nf) planned radii; each iteration executes the
+            # first half of its T-step horizon over t_move seconds
+            n_it, T = t_rad.shape[:2]
+            tt = (np.arange(n_it)[:, None] * 0.5
+                  + np.linspace(0.0, 0.5, T // 2, endpoint=False)[None, :])
+            tight = spec.torque_limits[j] - t_rad[:, : T // 2, j]
+            axes[j].step(tt.ravel(), tight.ravel(), where="post", lw=0.7,
+                         color="tab:orange")
+            axes[j].step(tt.ravel(), -tight.ravel(), where="post", lw=0.7,
+                         color="tab:orange")
         axes[j].set_ylabel(f"u{j} (Nm)", fontsize=8)
     axes[-1].set_xlabel("time (s)")
-    axes[0].set_title("control inputs vs torque limits")
+    axes[0].set_title("control inputs vs torque limits "
+                      "(orange: limit - planned radius)")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def plot_frs_topdown(rec: dict, spec, out_path, iteration: int = 0,
+                     cfg=None, dtype=None):
+    """FRS snapshot over obstacles (the reference's reachable-set figure):
+    rebuild the reachable sets at the recorded planning state of one
+    iteration, slice at the recorded k, and draw the per-(time, link)
+    forward-occupancy boxes over the obstacles and the executed EE path."""
+    if not HAVE_MPL:
+        return None
+    if "q0p" not in rec or rec["k"].shape[0] <= iteration:
+        return None
+    import jax.numpy as jnp
+
+    from armour_tpu.config import PlannerConfig
+    from armour_tpu.dynamics.pz_rnea import build_reachable_sets
+    from armour_tpu.dynamics.rnea import forward_kinematics
+    from armour_tpu.jrs.bezier import make_bezier_jrs
+    from armour_tpu.ops.pz import pack_pzs
+
+    cfg = cfg or PlannerConfig()
+    dtype = dtype or jnp.float64
+    k = np.nan_to_num(rec["k"][iteration])
+    jrs = make_bezier_jrs(
+        spec, cfg,
+        jnp.asarray(rec["q0p"][iteration], dtype),
+        jnp.asarray(rec["qd0p"][iteration], dtype),
+        jnp.asarray(rec["qdd0p"][iteration], dtype),
+        dtype,
+    )
+    rs = build_reachable_sets(spec, cfg, jrs, dtype)
+    links = pack_pzs(rs.link_pz, axis=1)
+    centers, _ = links.slice(jnp.asarray(k, dtype))      # (T, L, 3)
+    centers = np.asarray(centers)
+    half = np.abs(np.asarray(rs.link_indep_gens)).sum(axis=-1)  # (T, L, 3)
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    zon = rec["obstacles"]
+    mask = rec["obstacle_mask"]
+    for i in range(zon.shape[0]):
+        if not mask[i]:
+            continue
+        c = zon[i, 0]
+        h = np.abs(zon[i, 1:]).sum(axis=0)
+        ax.add_patch(plt.Rectangle((c[0] - h[0], c[1] - h[1]),
+                                   2 * h[0], 2 * h[1],
+                                   fill=True, alpha=0.4, color="tab:red"))
+    T = centers.shape[0]
+    for t in range(0, T, max(1, T // 16)):
+        for L in range(centers.shape[1]):
+            c, h = centers[t, L], half[t, L]
+            ax.add_patch(plt.Rectangle(
+                (c[0] - h[0], c[1] - h[1]), 2 * h[0], 2 * h[1],
+                fill=False, lw=0.4, alpha=0.25 + 0.6 * t / T,
+                color="tab:green"))
+    Rw, pw = forward_kinematics(spec, jnp.asarray(rec["q"], dtype))
+    ee = np.asarray(pw)[:, -1]
+    ax.plot(ee[:, 0], ee[:, 1], "k-", lw=0.9, label="executed EE path")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    ax.legend()
+    ax.set_title(f"sliced forward-occupancy FRS over obstacles "
+                 f"(iteration {iteration})")
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)

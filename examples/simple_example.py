@@ -82,6 +82,12 @@ def main():
         out = fn(loaded, spec, os.path.join(args.out_dir, name))
         if out:
             print("wrote", out)
+    from armour_tpu.utils.plotting import plot_frs_topdown
+
+    out = plot_frs_topdown(loaded, spec, os.path.join(args.out_dir, "frs.png"),
+                           iteration=0, cfg=pcfg, dtype=dtype)
+    if out:
+        print("wrote", out)
 
 
 if __name__ == "__main__":

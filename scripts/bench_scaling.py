@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--worlds-per-device", type=int, default=2)
     ap.add_argument("--time-steps", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="", help="write JSON results here")
     args = ap.parse_args()
 
     import jax
@@ -75,11 +76,19 @@ def main():
         })
         print(json.dumps(results[-1]))
 
+    summary = {}
     if len(results) >= 2:
         eff = results[-1]["plans_per_s_per_device"] / results[0]["plans_per_s_per_device"]
-        print(json.dumps({"scaling_efficiency": round(eff, 3),
-                          "from_devices": results[0]["devices"],
-                          "to_devices": results[-1]["devices"]}))
+        summary = {"scaling_efficiency": round(eff, 3),
+                   "from_devices": results[0]["devices"],
+                   "to_devices": results[-1]["devices"]}
+        print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"virtual_devices": args.virtual,
+                       "time_steps": args.time_steps,
+                       "rows": results, **summary}, f, indent=2)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

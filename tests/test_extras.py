@@ -123,6 +123,11 @@ def test_recorded_episode_roundtrip(tmp_path):
     assert plot_torques(loaded, SPEC, tmp_path / "torq.png")
     assert plot_world_topdown(loaded, SPEC, tmp_path / "world.png")
 
+    from armour_tpu.utils.plotting import plot_frs_topdown
+
+    assert plot_frs_topdown(loaded, SPEC, tmp_path / "frs.png",
+                            iteration=0, cfg=pcfg)
+
 
 def test_rrt_star_connect_prm_variants():
     """RRT*, RRT-connect, and PRM all find start->goal paths around an

@@ -175,3 +175,61 @@ def test_fused_constraint_jacobian_matches_autodiff(rng):
         u_c, _, du = prob.u.slice_with_jac(k)
         du_ref = jnp.moveaxis(jax.jacfwd(lambda kk: prob.u.slice(kk)[0])(k), -1, 0)
         np.testing.assert_allclose(np.asarray(du), np.asarray(du_ref), atol=1e-12)
+
+
+def test_smooth_collision_conservative_and_differentiable(rng):
+    """The smooth (LSE) collision constraint upper-bounds the hard one by
+    at most tau*log(2P), and its analytic softmax Jacobian matches
+    autodiff of the smooth value."""
+    import dataclasses
+
+    from armour_tpu.collision.zonotope import (
+        collision_constraint_values,
+        smooth_collision_constraints_with_jac,
+    )
+
+    tau = 1e-3
+    planner = ArmourPlanner(SPEC, CFG)
+    obs = ObstacleSet.from_boxes(
+        rng.uniform(-0.6, 0.6, (3, 3)), rng.uniform(0.1, 0.3, (3, 3)),
+        CFG.max_obstacles,
+    )
+    prob = planner._make_build_fn()(
+        jnp.zeros(7), jnp.zeros(7), jnp.zeros(7), obs.zonos, obs.mask)
+    k = jnp.asarray(rng.uniform(-0.8, 0.8, 7))
+    centers, _, dcenters = prob.links.slice_with_jac(k)
+    g_hard = np.asarray(collision_constraint_values(prob.hp, centers))
+    g_s, J_s = smooth_collision_constraints_with_jac(
+        prob.hp, centers, dcenters, tau)
+    g_s = np.asarray(g_s)
+    live = np.asarray(prob.hp.obs_mask)
+    gap = tau * np.log(2 * 36)
+    assert np.all(g_s[:, :, live] >= g_hard[:, :, live] - 1e-9)
+    assert np.all(g_s[:, :, live] <= g_hard[:, :, live] + gap + 1e-9)
+
+    def g_of_k(kk):
+        c, _ = prob.links.slice(kk)
+        return smooth_collision_constraints_with_jac(
+            prob.hp, c, dcenters, tau)[0]
+
+    J_auto = jax.jacfwd(g_of_k)(k)
+    np.testing.assert_allclose(np.asarray(J_s), np.asarray(J_auto),
+                               atol=1e-8)
+
+
+def test_smooth_mode_plans_and_verifies_hard():
+    """A planner with smooth_collision_tau > 0 returns plans that pass the
+    HARD verification (solve smooth-conservative, verify exact)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, smooth_collision_tau=1e-3)
+    planner = ArmourPlanner(SPEC, cfg)
+    q0 = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    obs = ObstacleSet.from_boxes(
+        np.array([[0.5, 0.3, 0.4]]), np.array([[0.15, 0.15, 0.15]]),
+        cfg.max_obstacles,
+    )
+    res = planner.plan(q0, np.zeros(7), np.zeros(7), q0 + 0.5 * cfg.k_range,
+                       obs)
+    assert bool(res.feasible), f"viol={res.max_violation}"
+    assert np.all(np.isfinite(np.asarray(res.k)))
