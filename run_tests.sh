@@ -4,5 +4,17 @@
 # The deployment environment injects an `axon` TPU PJRT plugin into every
 # python interpreter via PYTHONPATH sitecustomize; its tunnel handshake can
 # stall host transfers for minutes.  Tests are CPU-only, so start pytest
-# with a sanitized environment.
-exec env PYTHONPATH= JAX_PLATFORMS=cpu python -m pytest "$@"
+# with a sanitized environment (tests/conftest.py additionally forces the
+# jax_platforms config, which outranks the sitecustomize's update).
+#
+#   ./run_tests.sh            full suite, 2-way parallel
+#   ./run_tests.sh --fast     skip tests marked slow (~quick iteration)
+#   ./run_tests.sh <pytest args...>
+ARGS=("$@")
+if [[ "${ARGS[0]}" == "--fast" ]]; then
+    ARGS=("-m" "not slow" "${ARGS[@]:1}")
+fi
+if [[ ${#ARGS[@]} -eq 0 ]]; then
+    ARGS=(tests/ -q)
+fi
+exec env PYTHONPATH= JAX_PLATFORMS=cpu python -m pytest -n 2 "${ARGS[@]}"

@@ -54,6 +54,7 @@ def test_rrt_finds_path_free_space():
     assert np.all(d <= 0.9 + 1e-9)
 
 
+@pytest.mark.slow
 def test_grasp_constrained_planner():
     """With contact constraints on, plans keep the carried object's friction
     cone satisfied along the nominal trajectory (numeric spot check)."""
@@ -82,6 +83,7 @@ def test_grasp_constrained_planner():
         assert z_up > 0.9
 
 
+@pytest.mark.slow
 def test_grasp_infeasible_when_impossible():
     """u_s ~ 0 and an aggressive start velocity: slipping constraint can't
     hold -> infeasible."""
@@ -95,6 +97,7 @@ def test_grasp_infeasible_when_impossible():
     assert not bool(res.feasible)
 
 
+@pytest.mark.slow
 def test_recorded_episode_roundtrip(tmp_path):
     pcfg = PlannerConfig(num_time_steps=8, max_obstacles=4,
                          nlp_num_starts=2, nlp_outer_iters=5, nlp_inner_iters=5)

@@ -10,6 +10,8 @@ Regenerate (after an INTENTIONAL semantics change only):
 import os
 import sys
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,10 +57,9 @@ def compute_slices():
     return out
 
 
+@pytest.mark.slow
 def test_golden_slices():
     if not os.path.exists(FIXTURE):
-        import pytest
-
         pytest.skip("fixture not generated yet")
     cur = compute_slices()
     with np.load(FIXTURE) as z:

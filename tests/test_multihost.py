@@ -8,6 +8,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 _WORKER = """
 import os, sys
 proc_id = int(sys.argv[1]); nproc = int(sys.argv[2]); coord = sys.argv[3]
@@ -23,6 +25,7 @@ import jax.numpy as jnp, numpy as np
 from armour_tpu.config import PlannerConfig
 from armour_tpu.parallel.mesh import sharded_plan_step
 from armour_tpu.robots.kinova import kinova_gen3_spec
+import pytest
 
 spec = kinova_gen3_spec()
 cfg = PlannerConfig(num_time_steps=8, max_obstacles=4, nlp_num_starts=2,
@@ -50,6 +53,7 @@ if proc_id == 0:
 """
 
 
+@pytest.mark.slow
 def test_two_process_scenario_farm(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))

@@ -15,6 +15,7 @@ exact — see `_tie_mask`).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from armour_tpu.collision.pallas_kernel import fused_collision_value_jac
 from armour_tpu.collision.zonotope import (
@@ -43,6 +44,7 @@ def _tie_mask(hp, centers, tol=1e-5):
     return jnp.transpose(gap > tol, (2, 0, 1))
 
 
+@pytest.mark.slow
 def test_pallas_collision_kernel_matches_xla(rng):
     spec = kinova_gen3_spec()
     cfg = PlannerConfig(num_time_steps=16, max_obstacles=8)
@@ -97,6 +99,7 @@ def _build_problem(rng, n_obs=3):
     )
 
 
+@pytest.mark.slow
 def test_pallas_multi_kernels_match_xla(rng):
     """The planner's production TPU path uses the START-BATCHED kernels
     (`fused_collision_value_jac_multi` / `fused_collision_values_multi`); an
@@ -142,6 +145,7 @@ def test_pallas_multi_kernels_match_xla(rng):
     np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_x), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_pallas_multi_kernel_tie_break(rng):
     """Duplicated obstacle banks (identical hyperplane slabs in two O slots)
     must produce identical values in both slots and tie-masked Jacobian

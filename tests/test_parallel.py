@@ -27,6 +27,7 @@ def test_dryrun_multichip_4dev():
     assert "dryrun_multichip OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_sharded_plan_matches_unsharded():
     """cp-sharded constraint bank must give the same plans as single-device."""
     code = """

@@ -115,6 +115,7 @@ def test_blocked_scenario_infeasible():
     assert np.all(np.isnan(np.array(res.k)))
 
 
+@pytest.mark.slow
 def test_plan_batch_vmaps():
     """plan_batch over 3 worlds == 3 single plans."""
     qd0 = np.zeros(7)
@@ -177,6 +178,7 @@ def test_fused_constraint_jacobian_matches_autodiff(rng):
         np.testing.assert_allclose(np.asarray(du), np.asarray(du_ref), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_smooth_collision_conservative_and_differentiable(rng):
     """The smooth (LSE) collision constraint upper-bounds the hard one by
     at most tau*log(2P), and its analytic softmax Jacobian matches
@@ -217,6 +219,7 @@ def test_smooth_collision_conservative_and_differentiable(rng):
                                atol=1e-8)
 
 
+@pytest.mark.slow
 def test_smooth_mode_plans_and_verifies_hard():
     """A planner with smooth_collision_tau > 0 returns plans that pass the
     HARD verification (solve smooth-conservative, verify exact)."""

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from armour_tpu.collision.zonotope import ObstacleSet, collision_constraint_values
 from armour_tpu.config import PlannerConfig
 from armour_tpu.planner.armour import ArmourPlanner

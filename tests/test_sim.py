@@ -135,6 +135,7 @@ def test_random_world_start_goal_free(rng):
     assert int(np.sum(np.array(w.obstacles.mask))) == 10
 
 
+@pytest.mark.slow
 def test_episode_reaches_goal_open_world():
     """Mini end-to-end episode: open world, goal a few k-ranges away."""
     pcfg = PlannerConfig(num_time_steps=8, max_obstacles=4,
@@ -157,6 +158,7 @@ def test_episode_reaches_goal_open_world():
     assert bool(s.success)
 
 
+@pytest.mark.slow
 def test_run_batch_stepped_matches_flags():
     """Host-stepped batched driver reaches the same outcomes as a single
     recorded episode on an open world."""
