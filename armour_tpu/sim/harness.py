@@ -259,6 +259,7 @@ def run_batch_stepped(
     keys,
     verbose: bool = False,
     collision_oracle: str = "mesh",
+    hlp: str = "straight",
 ) -> EpisodeSummary:
     """Host-stepped batched episodes — the TPU-friendly battery driver.
 
@@ -277,6 +278,14 @@ def run_batch_stepped(
     do not confirm is NOT a collision and the episode continues.
     ``"box"`` keeps the conservative in-graph verdict (also the automatic
     fallback when the native library cannot be built).
+
+    ``hlp="ee_rrt_star"`` plans a workspace end-effector RRT* path per
+    world UP FRONT and follows its IK'd configuration waypoints — the
+    reference's hard-scenario setup (`kinova_run_hard_scenarios.m:150`
+    instantiates `arm_end_effector_RRT_star_HLP`); "straight" (default)
+    starts from the straight-line HLP and escalates on stall.  Stall is
+    detected on GOAL PROGRESS (best goal distance not improving), which
+    also catches oscillation that a pure motion check misses.
     """
     import numpy as np
 
@@ -404,6 +413,71 @@ def run_batch_stepped(
     qd = jnp.zeros((B, nf), dtype)
     goals_np = np.asarray(goals, float)
     rrt_paths: dict = {}  # world -> [path (n_wp, nf) | None, next idx]
+    ee_paths: dict = {}   # world -> densified (n_pts, 3) workspace EE path
+    ee_retries: dict = {}
+    if hlp == "ee_rrt_star":
+        # reference hard-scene setup (`kinova_run_hard_scenarios.m:150`):
+        # workspace EE RRT* planned up front; every replan finds the
+        # nearest point on the path to the CURRENT end effector, walks
+        # lookahead_distance = 0.1 m along it, and IKs that target from a
+        # seed of 0.5 (q_cur + q_goal) (`arm_end_effector_RRT_star_HLP.m:
+        # 60-86`, RRT_star_HLP.get_waypoint)
+        from armour_tpu.dynamics.utility import ee_pose
+        from armour_tpu.planner.hlp import ee_rrt_star_waypoints, ik_to_position
+
+        def _plan_ee_path(w, q_from, seed):
+            path = ee_rrt_star_waypoints(
+                spec, q_from, goals_np[w],
+                ObstacleSet(zonos[w], masks[w]), seed=seed)
+            if path is None:
+                return False
+            # densify to ~2 cm segments for nearest-point lookup
+            pts = [path[0]]
+            for a, b in zip(path[:-1], path[1:]):
+                n_seg = max(1, int(np.ceil(np.linalg.norm(b - a) / 0.02)))
+                for s in range(1, n_seg + 1):
+                    pts.append(a + (b - a) * s / n_seg)
+            ee_paths[w] = np.asarray(pts)
+            return True
+
+        starts_np = np.asarray(starts, float)
+        for w in range(B):
+            got = _plan_ee_path(w, starts_np[w], seed=w)
+            if verbose:
+                n_pts = len(ee_paths[w]) if got else 0
+                print(f"  world {w}: EE RRT* path {n_pts} points")
+
+        ee_batch = jax.jit(jax.vmap(lambda qq: ee_pose(spec, qq)[1]))
+        ik_batch = jax.jit(jax.vmap(
+            lambda tgt, seed: ik_to_position(spec, tgt, seed)))
+
+    def _ee_waypoints(q_cur_j, q_des_j):
+        """Adaptive EE-path waypoints for worlds with a workspace path."""
+        ws = [w for w in ee_paths if not done[w]]
+        if not ws:
+            return q_des_j
+        ee_cur = np.asarray(ee_batch(q_cur_j), float)          # (B, 3)
+        targets = np.zeros((len(ws), 3))
+        for i, w in enumerate(ws):
+            pts = ee_paths[w]
+            j = int(np.argmin(np.linalg.norm(pts - ee_cur[w], axis=-1)))
+            seg = np.linalg.norm(np.diff(pts[j:], axis=0), axis=-1)
+            s = np.concatenate([[0.0], np.cumsum(seg)])
+            adv = int(np.searchsorted(s, 0.1))                 # 0.1 m lookahead
+            targets[i] = pts[min(j + adv, len(pts) - 1)]
+        seeds = 0.5 * (np.asarray(q_cur_j, float)[ws] + goals_np[ws])
+        q_wp, ok = ik_batch(jnp.asarray(targets, dtype),
+                            jnp.asarray(seeds, dtype))
+        q_wp = np.asarray(q_wp, float)
+        ok = np.asarray(ok)
+        q_des_np = np.asarray(q_des_j, float)
+        for i, w in enumerate(ws):
+            # IK failure falls back to the global goal configuration
+            # (arm_end_effector_RRT_star_HLP.m:77-80); near the path end
+            # the goal config is the better waypoint too
+            at_end = np.linalg.norm(ee_paths[w][-1] - targets[i]) < 1e-9
+            q_des_np[w] = goals_np[w] if (not ok[i] or at_end) else q_wp[i]
+        return jnp.asarray(q_des_np, dtype)
     traj = TrajParams(
         q0=q, qd0=jnp.zeros((B, nf), dtype), qdd0=jnp.zeros((B, nf), dtype),
         k_actual=jnp.zeros((B, nf), dtype),
@@ -413,7 +487,8 @@ def run_batch_stepped(
     done = np.zeros(B, bool)
     fails = np.zeros(B, np.int32)
     stall = np.zeros(B, np.int32)
-    q_prev = np.asarray(q)
+    best_dist = np.full(B, np.inf)
+    cont_np = np.asarray(spec.continuous_joints)
     summ = {k: np.zeros(B, bool) for k in
             ("goal_reached", "collision", "torque_violation",
              "joint_limit_violation", "ultimate_bound_violation", "stopped")}
@@ -433,6 +508,27 @@ def run_batch_stepped(
                 q, jnp.asarray(goals, dtype), zonos, masks, wp_keys
             )
             q_des = jnp.where(jnp.asarray(stall >= 3)[:, None], q_clear, q_des)
+        if ee_paths and (stall >= 20).any():
+            # the current homotopy class is not working: re-plan the
+            # workspace path from the CURRENT end effector with a fresh
+            # seed (the reference's ever-growing 'keep' tree plays this
+            # adaptive role)
+            q_cur_np = np.asarray(q, float)
+            for w in np.nonzero((stall >= 20) & ~done)[0]:
+                if w not in ee_paths:
+                    continue
+                retry = ee_retries.get(w, 0) + 1
+                if retry > 10:
+                    continue
+                ee_retries[w] = retry
+                if _plan_ee_path(w, q_cur_np[w], seed=1000 * retry + w):
+                    rrt_paths.pop(w, None)
+                stall[w] = 0
+                best_dist[w] = np.inf
+                if verbose:
+                    print(f"  world {w}: EE path re-planned (retry {retry})")
+        if ee_paths:
+            q_des = _ee_waypoints(q, q_des)
         if (stall >= 8).any():
             # stage-2 escalation: worlds stalled despite clearance sampling
             # get a host-side RRT* plan (config space; workspace EE RRT* +
@@ -447,6 +543,8 @@ def run_batch_stepped(
             for w in np.nonzero((stall >= 8) & ~done)[0]:
                 if w in rrt_paths:
                     continue
+                if w in ee_paths and stall[w] < 12:
+                    continue  # give the adaptive EE follower longer first
                 obs_w = ObstacleSet(zonos[w], masks[w])
                 path = rrt_star_waypoints(
                     spec, q_np_cur[w], goals_np[w], obs_w, seed=int(w))
@@ -507,10 +605,16 @@ def run_batch_stepped(
             ("goal_reached", np.asarray(reached)),
         ):
             summ[name] |= active & arr
-        q_np = np.asarray(q)
-        moved = np.linalg.norm(q_np - q_prev, axis=-1) > 5e-3
-        stall = np.where(moved, 0, stall + 1) * active
-        q_prev = q_np
+        # goal-progress stall detector: the best-so-far goal distance must
+        # keep improving, else the HLP escalates (catches both freezing AND
+        # oscillating around a local minimum)
+        d_goal = np.asarray(q, float) - goals_np
+        d_goal = np.where(cont_np[None],
+                          (d_goal + np.pi) % (2 * np.pi) - np.pi, d_goal)
+        dist = np.linalg.norm(d_goal, axis=-1)
+        progressed = dist < best_dist - 2e-3
+        best_dist = np.minimum(best_dist, dist)
+        stall = np.where(progressed, 0, stall + 1) * active
         fails = np.where(feas, 0, fails + 1) * active
         stopped = fails >= scfg.stop_threshold
         summ["stopped"] |= active & stopped

@@ -84,9 +84,13 @@ def main():
                    "to_devices": results[-1]["devices"]}
         print(json.dumps(summary))
     if args.out:
+        note = ("virtual CPU devices share one physical socket: rows "
+                "validate that the sharded program compiles+runs at each "
+                "device count, NOT per-device scaling (that needs real "
+                "chips)") if args.virtual else ""
         with open(args.out, "w") as f:
             json.dump({"virtual_devices": args.virtual,
-                       "time_steps": args.time_steps,
+                       "time_steps": args.time_steps, "note": note,
                        "rows": results, **summary}, f, indent=2)
         print(f"wrote {args.out}")
 

@@ -14,7 +14,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenarios", type=int, nargs="*", default=list(range(1, 8)))
     ap.add_argument("--time-steps", type=int, default=128)
-    ap.add_argument("--max-iterations", type=int, default=100)
+    ap.add_argument("--max-iterations", type=int, default=600,
+                    help="reference hard-scene cap "
+                         "(kinova_run_hard_scenarios.m:65 max_sim_iter=600)")
+    ap.add_argument("--hlp", default="ee_rrt_star",
+                    choices=["ee_rrt_star", "straight"],
+                    help="the reference instantiates the workspace EE RRT* "
+                         "HLP for these scenes (:150)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--out", default="", help="write JSON summary here")
     args = ap.parse_args()
@@ -45,7 +51,8 @@ def main():
     worlds = [hard_scenario(i, pcfg.max_obstacles, dtype) for i in args.scenarios]
     starts, goals, zonos, masks = stack_worlds(worlds, dtype)
     keys = jax.random.split(jax.random.PRNGKey(0), len(worlds))
-    s = run_batch_stepped(runner, starts, goals, zonos, masks, keys)
+    s = run_batch_stepped(runner, starts, goals, zonos, masks, keys,
+                          verbose=True, hlp=args.hlp)
 
     names = {1: "table", 2: "doorway", 3: "posts", 4: "shelves",
              5: "inside box", 6: "sink->cupboard", 7: "window"}
