@@ -49,7 +49,24 @@ def _extract_mcos_f64(path: str) -> list:
     """All 6-row float64 matrices from the .mat's MCOS subsystem, in file
     order — exactly the 100 per-time-step zonotope Z matrices."""
     import scipy.io as sio
-    from scipy.io.matlab._mio5 import MatFile5Reader
+
+    # MCOS class payloads are not part of scipy's public API; this reader
+    # walks the __function_workspace__ stream via scipy internals that are
+    # stable across 1.10-1.16 but may move.  Fail loudly (callers — the
+    # parity script and its test — skip on ImportError) rather than
+    # silently breaking the offline-parity artifact path.
+    try:
+        from scipy.io.matlab._mio5 import MatFile5Reader
+    except ImportError as e:  # pragma: no cover
+        import scipy
+
+        raise ImportError(
+            "scipy.io.matlab._mio5.MatFile5Reader is unavailable in scipy "
+            f"{scipy.__version__}; the CORA-MCOS offline-JRS reader was "
+            "developed against scipy 1.16.  Regenerate "
+            "results/armtd_offline_parity.json with a compatible scipy, or "
+            "update _extract_mcos_f64 for the new private-module layout."
+        ) from e
 
     m = sio.loadmat(path)
     fw = m["__function_workspace__"]

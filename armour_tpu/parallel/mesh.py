@@ -63,6 +63,9 @@ def sharded_plan_step(
     planner.spec, planner.cfg, planner.dtype = spec, cfg, dtype
     planner.traj_type = "bernstein"
     planner.grasp = None
+    planner.self_intersection = False
+    planner._si_pairs = []
+    planner.build_chunk = None
     plan_fn = planner._make_plan_fn(collision_axis="cp" if cp > 1 else None)
     plan_vmap = jax.vmap(plan_fn, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
 

@@ -67,6 +67,8 @@ class ProblemData(NamedTuple):
     Tqd0: jnp.ndarray
     TTqdd0: jnp.ndarray
     k_range: jnp.ndarray
+    si_diff: object = None   # PackedPZ (T, P, 3) link-pair differences (C19)
+    si_rad: object = None    # (T, P, 3) pair separation radii
 
 
 @dataclasses.dataclass
@@ -83,8 +85,26 @@ class ArmourPlanner:
     dtype: object = jnp.float64
     traj_type: str = "bernstein"  # or "orig" (ARMTD comparison mode, C7)
     grasp: object = None          # optional GraspConfig (contact constraints)
+    # self-intersection constraints (the legacy rotatotope planners' extra
+    # block, C19 — planner/rotatotope.py): False = off, True = automatic
+    # home-separated pair selection, or an explicit [(i, j), ...] list
+    self_intersection: object = False
+    # reachable-set build vectorization width: the build phase runs as
+    # lax.map(..., batch_size=build_chunk) — chunks of worlds build as one
+    # vmapped program (fills the VPU; a fully vmapped build blows up XLA
+    # compile time, a fully sequential map leaves 10x throughput on the
+    # floor).  None = sequential (smallest compile).
+    build_chunk: int | None = 16
 
     def __post_init__(self):
+        if self.self_intersection is True:
+            from armour_tpu.planner.rotatotope import self_intersection_pairs
+
+            self._si_pairs = self_intersection_pairs(self.spec)
+        elif self.self_intersection:
+            self._si_pairs = list(self.self_intersection)
+        else:
+            self._si_pairs = []
         self._plan = jax.jit(self._make_plan_fn())
         # batched path: the heavy reachable-set/hyperplane build runs as a
         # sequential lax.map over worlds (compiled ONCE, unbatched — a fully
@@ -96,7 +116,8 @@ class ArmourPlanner:
         # fused whole, and the intermediate ProblemData batch is small
         self._build_map = jax.jit(
             lambda q0, qd0, qdd0, zonos, masks: jax.lax.map(
-                lambda a: build(*a), (q0, qd0, qdd0, zonos, masks)
+                lambda a: build(*a), (q0, qd0, qdd0, zonos, masks),
+                batch_size=self.build_chunk,
             )
         )
         self._solve_vmap = jax.jit(jax.vmap(solve))
@@ -178,6 +199,12 @@ class ArmourPlanner:
                 ObstacleSet(obs_zonos, obs_mask),
                 slack=cfg.collision_numeric_slack,
             )
+            si_diff = si_rad = None
+            if self._si_pairs:
+                from armour_tpu.planner.rotatotope import build_self_intersection
+
+                si_diff, si_rad = build_self_intersection(
+                    rs.link_pz, rs.link_indep_gens, self._si_pairs)
             return ProblemData(
                 links=pack_pzs(rs.link_pz, axis=1),
                 u=pack_pzs(rs.u_nom, axis=-1) if cfg.input_constraints else None,
@@ -189,6 +216,8 @@ class ArmourPlanner:
                 Tqd0=Tqd0,
                 TTqdd0=TTqdd0,
                 k_range=jnp.asarray(jrs.k_range, dtype),
+                si_diff=si_diff,
+                si_rad=si_rad,
             )
 
         return build
@@ -288,6 +317,15 @@ class ArmourPlanner:
                     Jg = jnp.moveaxis(jax.lax.all_gather(Jg, collision_axis), 0, 1)
                 vals.append(g.reshape(S, -1))
                 jacs.append(Jg.reshape(S, -1, Jg.shape[-1]))
+                if prob.si_diff is not None:
+                    from armour_tpu.planner.rotatotope import (
+                        self_intersection_with_jac_multi,
+                    )
+
+                    cs, Js = self_intersection_with_jac_multi(
+                        prob.si_diff, prob.si_rad, K)      # (S,T,P), (S,T,P,n)
+                    vals.append(cs.reshape(S, -1))
+                    jacs.append(Js.reshape(S, -1, Js.shape[-1]))
                 vals.append(jax.vmap(pv_fn)(K))
                 jacs.append(jax.vmap(jax.jacfwd(pv_fn))(K))
                 return jnp.concatenate(vals, axis=1), jnp.concatenate(jacs, axis=1)
@@ -355,6 +393,17 @@ class ArmourPlanner:
                 cv = jnp.max(col.reshape(Np, -1), axis=1)
                 ok &= cv <= cfg.collision_violation_threshold
                 viol = jnp.maximum(viol, cv)
+                if prob.si_diff is not None:
+                    from armour_tpu.planner.rotatotope import (
+                        self_intersection_values_multi,
+                    )
+
+                    siv = jnp.max(
+                        self_intersection_values_multi(
+                            prob.si_diff, prob.si_rad, P).reshape(Np, -1),
+                        axis=1)
+                    ok &= siv <= cfg.collision_violation_threshold
+                    viol = jnp.maximum(viol, siv)
                 sv = jnp.max(jax.vmap(pv_fn)(P), axis=1)
                 ok &= sv <= cfg.state_violation_threshold
                 viol = jnp.maximum(viol, sv)

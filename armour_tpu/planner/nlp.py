@@ -93,7 +93,7 @@ def solve_box_alm(
     # is decided on the EXACT merit (the linearized model picks the step
     # length only — it can under-predict penalty growth)
     def inner_step_cj(carry, _):
-        k, c, J, lam, mu = carry
+        k, c, J, lam, mu, scale = carry
         dk = _newton_dir(k, c, J, lam, mu)
         phi0 = f_fn(k) + penalty(c, lam, mu)
 
@@ -102,7 +102,12 @@ def solve_box_alm(
             c_lin = c + J @ (k_new - k)
             return k_new, f_fn(k_new) + penalty(c_lin, lam, mu)
 
-        alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)
+        # `scale` continues the backtracking sequence across iterations: a
+        # rejected candidate would otherwise be recomputed identically every
+        # remaining inner iteration (same (k, c, J, lam, mu) -> same dk, same
+        # alphas).  On reject the next window starts where this one ended;
+        # on accept it resets to full steps.
+        alphas = scale * 0.5 ** jnp.arange(ls_steps, dtype=dtype)
         k_cands, phis = jax.vmap(try_alpha)(alphas)
         k_cand = k_cands[jnp.argmin(phis)]
         c_cand, J_cand = cj_fn(k_cand)                 # the bank pass
@@ -111,7 +116,9 @@ def solve_box_alm(
         k = jnp.where(accept, k_cand, k)
         c = jnp.where(accept, c_cand, c)
         J = jnp.where(accept, J_cand, J)
-        return (k, c, J, lam, mu), None
+        scale = jnp.where(accept, jnp.asarray(1.0, dtype),
+                          jnp.maximum(scale * 0.5 ** ls_steps, 1e-6))
+        return (k, c, J, lam, mu, scale), None
 
     def inner_step(carry, _):
         k, lam, mu = carry
@@ -136,8 +143,10 @@ def solve_box_alm(
         k, lam, mu, prev_viol, k_feas, f_feas, found = carry
         if cj_fn is not None:
             c0i, J0i = cj_fn(k)
-            (k, c, J, lam, mu), _ = jax.lax.scan(
-                inner_step_cj, (k, c0i, J0i, lam, mu), None, length=inner_iters)
+            (k, c, J, lam, mu, _), _ = jax.lax.scan(
+                inner_step_cj,
+                (k, c0i, J0i, lam, mu, jnp.asarray(1.0, dtype)),
+                None, length=inner_iters)
         else:
             (k, lam, mu), _ = jax.lax.scan(
                 inner_step, (k, lam, mu), None, length=inner_iters)
@@ -212,7 +221,7 @@ def solve_box_alm_multi(
     # model alone could take uphill steps).  Rejected candidates leave the
     # carried iterate untouched.
     def inner_step(carry, _):
-        K, c, J, lam, mu = carry
+        K, c, J, lam, mu, scale = carry
         a = jnp.maximum(0.0, lam + mu[:, None] * c)   # (S, m)
         grad = fgrad_b(K) + jnp.einsum("smn,sm->sn", J, a)
         active = (a > 0.0).astype(dtype)
@@ -221,9 +230,13 @@ def solve_box_alm_multi(
         dk = -jnp.linalg.solve(H, grad[..., None])[..., 0]
         phi0 = f_b(K) + penalty(c, lam, mu)
 
-        # pick the step length on the linearized constraint model (exact f)
-        alphas = 0.5 ** jnp.arange(ls_steps, dtype=dtype)  # (A,)
-        K_new = jnp.clip(K[None] + alphas[:, None, None] * dk[None], -1.0, 1.0)
+        # pick the step length on the linearized constraint model (exact f).
+        # `scale` (per-start) continues the backtracking sequence across
+        # iterations: on reject the next window starts where this one ended
+        # instead of deterministically re-trying the identical candidate;
+        # on accept it resets to full steps.
+        alphas = scale[None] * 0.5 ** jnp.arange(ls_steps, dtype=dtype)[:, None]
+        K_new = jnp.clip(K[None] + alphas[:, :, None] * dk[None], -1.0, 1.0)
         dK = K_new - K[None]                               # (A, S, n)
         c_lin = c[None] + jnp.einsum("smn,asn->asm", J, dK)
         a_lin = jnp.maximum(0.0, lam[None] + mu[None, :, None] * c_lin)
@@ -238,12 +251,17 @@ def solve_box_alm_multi(
         accept = phi_cand < phi0                           # exact decrease
         sel = lambda new, old: jnp.where(
             accept.reshape((S,) + (1,) * (new.ndim - 1)), new, old)
-        return (sel(K_cand, K), sel(c_cand, c), sel(J_cand, J), lam, mu), None
+        scale = jnp.where(accept, jnp.asarray(1.0, dtype),
+                          jnp.maximum(scale * 0.5 ** ls_steps, 1e-6))
+        return (sel(K_cand, K), sel(c_cand, c), sel(J_cand, J), lam, mu,
+                scale), None
 
     def outer_step(carry, _):
         K, c, J, lam, mu, prev_viol, K_feas, f_feas, found = carry
-        (K, c, J, lam, mu), _ = jax.lax.scan(
-            inner_step, (K, c, J, lam, mu), None, length=inner_iters)
+        (K, c, J, lam, mu, _), _ = jax.lax.scan(
+            inner_step,
+            (K, c, J, lam, mu, jnp.ones((S,), dtype)),
+            None, length=inner_iters)
         # c is exact at K (carried from the accepted candidate's pass)
         viol = jnp.max(jnp.maximum(c, 0.0), axis=-1)       # (S,)
         f_now = f_b(K)

@@ -1,0 +1,132 @@
+"""Legacy rotatotope RTD planners (C19).
+
+Rebuild of the pre-ARMOUR ARMTD planner family
+(`/root/reference/simulator/planners/robot_arm_rotatotope_RTD_planner_3D_fetch.m:1-548`
+and the 2-D 2-link / 6-link variants): a "rotatotope" is the product of a
+rotation-matrix set (cos/sin zonotope over the trajectory parameter k) with
+a link-volume zonotope, composed down the kinematic chain — which is
+EXACTLY what this framework's polynomial-zonotope forward kinematics
+computes (`dynamics/pz_rnea.py::pz_forward_kinematics` with the ARMTD
+'orig' JRS of `jrs/armtd.py`); a k-sliceable PZ with independent error
+generators IS a rotatotope in the static-basis representation.  The planner
+surface (accel-parameterized trajectories, obstacle-avoidance constraints,
+fmincon over k) is therefore `ArmourPlanner(traj_type="orig")` — C7.
+
+What the legacy planners add beyond C7 — and what this module provides — is
+the SELF-INTERSECTION constraint (`generate_self_intersection_constraints`,
+`robot_arm_rotatotope_RTD_planner_3D_fetch.m:107-109`): non-adjacent link
+reachable volumes must stay separated over the whole plan horizon, encoded
+as constraints on k and solved jointly with the obstacle constraints.
+
+TPU shape: per (time, pair), the difference set D_ij(k) = FRS_i - FRS_j is
+a k-sliceable PZ (difference of the two link PZs) plus independent error
+generators from both links.  Bounding each side's independent part with its
+axis-aligned interval radius R gives the sound separation test
+
+    feasible(t, ij)  iff  exists axis a: |center_a(k)| >= R_a
+                     iff  min over 6 faces of (R_a -/+ d_a(k)) <= 0,
+
+a min of functions affine in the PZ monomials — the same structure as the
+obstacle hyperplane bank, with the exact Jacobian recovered by argmin
+selection (one-hot contraction; the `max_id` trick of
+`CollisionChecking.cu:263-297` applied to a min).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from armour_tpu.ops.pz import PackedPZ, pack_pzs
+from armour_tpu.robots.spec import RobotSpec
+
+
+def self_intersection_pairs(spec: RobotSpec, margin: float = 0.1) -> list:
+    """Link pairs (i, j), j >= i + 2, whose bounding boxes are separated by
+    more than ``margin`` at the home configuration (q = 0).
+
+    Adjacent links share a joint and always touch; additionally, pairs whose
+    home-pose clearance is below the FRS fattening scale (link boxes + one
+    interval's motion + tracking error, ~0.1 m at the reference trajectory
+    parameters) are too coarse for the box-level separation test and would
+    reject perfectly valid postures — on the kinova this prunes the wrist
+    cluster (3,5)/(4,6), whose clearance is 0.06-0.07 m.  The reference's
+    fetch class hard-codes its valid pair list for the same reason.
+    Selection is host-side and static (part of the compiled program's
+    shape).
+    """
+    from armour_tpu.dynamics.rnea import forward_kinematics
+
+    q0 = jnp.zeros(spec.n_factors, jnp.float64)
+    Rw, pw = forward_kinematics(spec, q0)
+    Rw = np.asarray(Rw, float)               # (L, 3, 3)
+    pw = np.asarray(pw, float)               # (L, 3)
+    c_l = np.asarray(spec.link_zono_center, float)
+    g_l = np.asarray(spec.link_zono_gen, float)
+    centers = pw + np.einsum("lij,lj->li", Rw, c_l)
+    # world-frame AABB radius of the rotated box
+    rad = np.einsum("lij,lj->li", np.abs(Rw), g_l)
+    pairs = []
+    for i in range(spec.n_joints):
+        for j in range(i + 2, spec.n_joints):
+            sep = np.abs(centers[i] - centers[j]) - (rad[i] + rad[j])
+            if sep.max() > margin:
+                pairs.append((i, j))
+    return pairs
+
+
+def build_self_intersection(link_pz, link_indep_gens, pairs):
+    """Difference bank for the NLP: (PackedPZ diff (T, P, 3), R (T, P, 3)).
+
+    ``link_pz``: per-link k-only 3-vector PZs, batch (T,) (the output of
+    `pz_forward_kinematics`); ``link_indep_gens``: (T, L, 3, n_gen)
+    independent generators + radius columns (reduce_link layout).
+    R folds the axis-aligned radius of BOTH links' independent parts; the
+    diff PZ's own error radius is added at slice time (PackedPZ.r).
+    """
+    diffs = [link_pz[i] - link_pz[j] for (i, j) in pairs]
+    packed = pack_pzs([d.reduce() for d in diffs], axis=1)   # (T, P, 3)
+    r_link = jnp.abs(link_indep_gens).sum(axis=-1)           # (T, L, 3)
+    R = jnp.stack([r_link[:, i] + r_link[:, j] for (i, j) in pairs], axis=1)
+    return packed, R
+
+
+def self_intersection_with_jac_multi(diff: PackedPZ, R, K):
+    """Start-batched constraint values + exact Jacobian.
+
+    K (S, n) -> (c (S, T, P), J (S, T, P, n)); feasible iff c <= 0.
+    c = min over the 6 faces (R_a + r_a) -/+ d_a(k); the Jacobian is the
+    argmin face's -/+ dd_a/dk via one-hot contraction (no gather — TPU
+    layout rule, see PERFORMANCE.md).
+    """
+    d, r, dd = diff.slice_with_jac_multi(K)   # (S,T,P,3), (T,P,3), (S,n,T,P,3)
+    Rr = (R + r)[None]                        # (1, T, P, 3)
+    faces = jnp.concatenate([Rr - d, Rr + d], axis=-1)       # (S, T, P, 6)
+    c = jnp.min(faces, axis=-1)
+    best = jnp.argmin(faces, axis=-1)                        # (S, T, P)
+    onehot = jax.nn.one_hot(best, 6, dtype=d.dtype)          # (S, T, P, 6)
+    # d-face signs: faces[..., :3] carry -dd, faces[..., 3:] carry +dd
+    w = onehot[..., 3:] - onehot[..., :3]                    # (S, T, P, 3)
+    J = jnp.einsum("stpa,sntpa->stpn", w, dd)
+    return c, jax.lax.stop_gradient(J)
+
+
+def self_intersection_values_multi(diff: PackedPZ, R, K):
+    """Value-only pass for the verification pool: (S, T, P)."""
+    d, r, _ = diff.slice_with_jac_multi(K)
+    Rr = (R + r)[None]
+    return jnp.min(jnp.concatenate([Rr - d, Rr + d], axis=-1), axis=-1)
+
+
+def rotatotope_planner(spec: RobotSpec, cfg, dtype=jnp.float64, pairs=None):
+    """The legacy planner, assembled: ARMTD 'orig' trajectories + obstacle
+    constraints + self-intersection constraints, one jitted program
+    (`robot_arm_rotatotope_RTD_planner_3D_fetch.m` replan()).  ``pairs``
+    overrides the automatic home-separated pair selection."""
+    from armour_tpu.planner.armour import ArmourPlanner
+
+    return ArmourPlanner(
+        spec, cfg, dtype, traj_type="orig",
+        self_intersection=pairs if pairs is not None else True,
+    )

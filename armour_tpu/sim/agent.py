@@ -179,6 +179,11 @@ def rollout(
         q_n = q + dt / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
         qd_n = qd + dt / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
         q_ref, qd_ref, _ = traj_eval(traj, t, duration)
+        # i_err is the continuous-time integral of the position error
+        # (dt-scaled), an intentional deviation from robot_arm_PID_LLC.m:90,
+        # which sums raw per-step error so its effective integral gain is
+        # K_i/control_dt; our pid_control K_i is tuned for the dt-scaled form
+        # and is therefore integrator-step-size independent.
         return (q_n, qd_n, i_err + dt * e_pos), (t, q, qd, q_ref, qd_ref, u)
 
     (q_end, qd_end, _), hist = jax.lax.scan(

@@ -282,10 +282,16 @@ def run_batch_stepped(
     ``hlp="ee_rrt_star"`` plans a workspace end-effector RRT* path per
     world UP FRONT and follows its IK'd configuration waypoints — the
     reference's hard-scenario setup (`kinova_run_hard_scenarios.m:150`
-    instantiates `arm_end_effector_RRT_star_HLP`); "straight" (default)
-    starts from the straight-line HLP and escalates on stall.  Stall is
-    detected on GOAL PROGRESS (best goal distance not improving), which
-    also catches oscillation that a pure motion check misses.
+    instantiates `arm_end_effector_RRT_star_HLP`).  ``hlp="rrt_connect"``
+    plans a CONFIGURATION-space bidirectional-RRT path per world up front
+    (obstacles inflated 3 cm so the corridor leaves margin for the FRS
+    buffering) — narrow whole-arm passages (doorway/window/box scenes)
+    need config-space guidance that a workspace EE path cannot give.
+    "straight" (default) starts from the straight-line HLP and escalates
+    on stall.  Stall is detected on GOAL PROGRESS (best goal distance not
+    improving), which also catches oscillation that a pure motion check
+    misses; a failed or exhausted RRT is retried with fresh seeds from the
+    CURRENT configuration rather than cached as failed forever.
     """
     import numpy as np
 
@@ -413,33 +419,69 @@ def run_batch_stepped(
     qd = jnp.zeros((B, nf), dtype)
     goals_np = np.asarray(goals, float)
     rrt_paths: dict = {}  # world -> [path (n_wp, nf) | None, next idx]
+    cfg_retries: dict = {}
     ee_paths: dict = {}   # world -> densified (n_pts, 3) workspace EE path
     ee_retries: dict = {}
+
+    # config-space RRT guidance plans against 3 cm-INFLATED obstacles: the
+    # ARMOUR planner buffers obstacles by the FRS radii, so a corridor that
+    # the bare arm barely fits through is unusable — the margin keeps the
+    # waypoints trackable (`uarmtd_planner.m` buffer_dist plays this role)
+    _infl = jnp.asarray(np.eye(3) * 0.03, dtype)
+    zonos_infl = zonos.at[:, :, 1:].add(_infl[None, None])
+
+    def _plan_cfg_path(w, q_from, seed):
+        """Config-space guidance path: RRT-connect (narrow-passage
+        workhorse), RRT* fallback.  Returns (n_wp, nf) or None."""
+        from armour_tpu.planner.hlp import (
+            rrt_connect_waypoints,
+            rrt_star_waypoints,
+        )
+
+        obs_w = ObstacleSet(zonos_infl[w], masks[w])
+        path = rrt_connect_waypoints(
+            spec, q_from, goals_np[w], obs_w, seed=seed, max_nodes=3000)
+        if path is None:
+            path = rrt_star_waypoints(
+                spec, q_from, goals_np[w], obs_w, seed=seed)
+        return path
+    # workspace EE RRT* machinery (`kinova_run_hard_scenarios.m:150`
+    # instantiates `arm_end_effector_RRT_star_HLP`): path planned over EE
+    # positions; every replan finds the nearest point on the path to the
+    # CURRENT end effector, walks lookahead_distance = 0.1 m along it, and
+    # IKs that target from a seed of 0.5 (q_cur + q_goal)
+    # (`arm_end_effector_RRT_star_HLP.m:60-86`).  Built lazily so ANY hlp
+    # mode can escalate into the EE-follower family.
+    _ee_jit: dict = {}
+
+    def _ee_helpers():
+        if not _ee_jit:
+            from armour_tpu.dynamics.utility import ee_pose
+            from armour_tpu.planner.hlp import ik_to_position
+
+            _ee_jit["ee"] = jax.jit(jax.vmap(lambda qq: ee_pose(spec, qq)[1]))
+            _ee_jit["ik"] = jax.jit(jax.vmap(
+                lambda tgt, seed: ik_to_position(spec, tgt, seed)))
+        return _ee_jit["ee"], _ee_jit["ik"]
+
+    def _plan_ee_path(w, q_from, seed):
+        from armour_tpu.planner.hlp import ee_rrt_star_waypoints
+
+        path = ee_rrt_star_waypoints(
+            spec, q_from, goals_np[w],
+            ObstacleSet(zonos[w], masks[w]), seed=seed)
+        if path is None:
+            return False
+        # densify to ~2 cm segments for nearest-point lookup
+        pts = [path[0]]
+        for a, b in zip(path[:-1], path[1:]):
+            n_seg = max(1, int(np.ceil(np.linalg.norm(b - a) / 0.02)))
+            for s in range(1, n_seg + 1):
+                pts.append(a + (b - a) * s / n_seg)
+        ee_paths[w] = np.asarray(pts)
+        return True
+
     if hlp == "ee_rrt_star":
-        # reference hard-scene setup (`kinova_run_hard_scenarios.m:150`):
-        # workspace EE RRT* planned up front; every replan finds the
-        # nearest point on the path to the CURRENT end effector, walks
-        # lookahead_distance = 0.1 m along it, and IKs that target from a
-        # seed of 0.5 (q_cur + q_goal) (`arm_end_effector_RRT_star_HLP.m:
-        # 60-86`, RRT_star_HLP.get_waypoint)
-        from armour_tpu.dynamics.utility import ee_pose
-        from armour_tpu.planner.hlp import ee_rrt_star_waypoints, ik_to_position
-
-        def _plan_ee_path(w, q_from, seed):
-            path = ee_rrt_star_waypoints(
-                spec, q_from, goals_np[w],
-                ObstacleSet(zonos[w], masks[w]), seed=seed)
-            if path is None:
-                return False
-            # densify to ~2 cm segments for nearest-point lookup
-            pts = [path[0]]
-            for a, b in zip(path[:-1], path[1:]):
-                n_seg = max(1, int(np.ceil(np.linalg.norm(b - a) / 0.02)))
-                for s in range(1, n_seg + 1):
-                    pts.append(a + (b - a) * s / n_seg)
-            ee_paths[w] = np.asarray(pts)
-            return True
-
         starts_np = np.asarray(starts, float)
         for w in range(B):
             got = _plan_ee_path(w, starts_np[w], seed=w)
@@ -447,15 +489,26 @@ def run_batch_stepped(
                 n_pts = len(ee_paths[w]) if got else 0
                 print(f"  world {w}: EE RRT* path {n_pts} points")
 
-        ee_batch = jax.jit(jax.vmap(lambda qq: ee_pose(spec, qq)[1]))
-        ik_batch = jax.jit(jax.vmap(
-            lambda tgt, seed: ik_to_position(spec, tgt, seed)))
+    if hlp == "rrt_connect":
+        # configuration-space guidance up front: bidirectional RRT through
+        # the inflated-obstacle free space, consumed waypoint by waypoint.
+        # Narrow whole-arm passages (doorway / inside-box / window scenes)
+        # need the FULL ARM routed, which a workspace EE path cannot express.
+        starts_np = np.asarray(starts, float)
+        for w in range(B):
+            path = _plan_cfg_path(w, starts_np[w], seed=w)
+            rrt_paths[w] = [path, 1]
+            cfg_retries[w] = 1
+            if verbose:
+                n_wp = 0 if path is None else len(path)
+                print(f"  world {w}: config RRT path {n_wp} wps")
 
     def _ee_waypoints(q_cur_j, q_des_j):
         """Adaptive EE-path waypoints for worlds with a workspace path."""
         ws = [w for w in ee_paths if not done[w]]
         if not ws:
             return q_des_j
+        ee_batch, ik_batch = _ee_helpers()
         ee_cur = np.asarray(ee_batch(q_cur_j), float)          # (B, 3)
         targets = np.zeros((len(ws), 3))
         for i, w in enumerate(ws):
@@ -508,7 +561,7 @@ def run_batch_stepped(
                 q, jnp.asarray(goals, dtype), zonos, masks, wp_keys
             )
             q_des = jnp.where(jnp.asarray(stall >= 3)[:, None], q_clear, q_des)
-        if ee_paths and (stall >= 20).any():
+        if hlp == "ee_rrt_star" and ee_paths and (stall >= 20).any():
             # the current homotopy class is not working: re-plan the
             # workspace path from the CURRENT end effector with a fresh
             # seed (the reference's ever-growing 'keep' tree plays this
@@ -531,30 +584,54 @@ def run_batch_stepped(
             q_des = _ee_waypoints(q, q_des)
         if (stall >= 8).any():
             # stage-2 escalation: worlds stalled despite clearance sampling
-            # get a host-side RRT* plan (config space; workspace EE RRT* +
-            # IK as fallback, `arm_end_effector_RRT_star_HLP.m`), consumed
-            # waypoint by waypoint
-            from armour_tpu.planner.hlp import (
-                ee_rrt_star_config_waypoints,
-                rrt_star_waypoints,
-            )
+            # get a host-side config-space RRT plan (RRT-connect, then RRT*,
+            # then workspace EE RRT* + IK, `arm_end_effector_RRT_star_HLP.m`),
+            # consumed waypoint by waypoint.  A failed attempt — or a path
+            # that is no longer making progress (stall >= 25) — is RETRIED
+            # from the CURRENT configuration with a fresh seed instead of
+            # being cached as failed forever.
+            from armour_tpu.planner.hlp import ee_rrt_star_config_waypoints
 
             q_np_cur = np.asarray(q, float)
             for w in np.nonzero((stall >= 8) & ~done)[0]:
-                if w in rrt_paths:
+                w = int(w)
+                have_path = (rrt_paths.get(w, [None])[0] is not None
+                             or w in ee_paths)
+                if have_path and stall[w] < 25:
+                    continue  # path in hand, still being consumed
+                retry = cfg_retries.get(w, 0)
+                if retry > 8:
                     continue
-                if w in ee_paths and stall[w] < 12:
-                    continue  # give the adaptive EE follower longer first
-                obs_w = ObstacleSet(zonos[w], masks[w])
-                path = rrt_star_waypoints(
-                    spec, q_np_cur[w], goals_np[w], obs_w, seed=int(w))
-                if path is None:
-                    path = ee_rrt_star_config_waypoints(
-                        spec, q_np_cur[w], goals_np[w], obs_w, seed=int(w))
-                rrt_paths[int(w)] = [path, 1]
+                cfg_retries[w] = retry + 1
+                # ALTERNATE guidance families across retries: config-space
+                # RRT routes the whole arm (narrow passages), the workspace
+                # EE follower finds homotopies the config-RRT waypoints are
+                # not trackable in (e.g. over-the-table reaches) — each
+                # family's failure mode is the other's strength
+                use_ee = retry % 2 == 1
+                got = False
+                if use_ee:
+                    got = _plan_ee_path(w, q_np_cur[w], seed=1000 * retry + w)
+                    if got:
+                        rrt_paths.pop(w, None)
+                if not got:
+                    path = _plan_cfg_path(w, q_np_cur[w],
+                                          seed=1000 * retry + w)
+                    if path is None:
+                        path = ee_rrt_star_config_waypoints(
+                            spec, q_np_cur[w], goals_np[w],
+                            ObstacleSet(zonos_infl[w], masks[w]),
+                            seed=77 * retry + w)
+                    rrt_paths[w] = [path, 1]
+                    ee_paths.pop(w, None)
+                    got = path is not None
+                stall[w] = 0
+                best_dist[w] = np.inf
                 if verbose:
-                    got = "ok" if path is not None else "FAILED"
-                    print(f"  world {w}: RRT* escalation {got}")
+                    fam = "EE" if (use_ee and got and w in ee_paths) \
+                        else "config-RRT"
+                    print(f"  world {w}: {fam} escalation "
+                          f"{'ok' if got else 'FAILED'} (try {retry + 1})")
         if rrt_paths:
             q_des_np = np.asarray(q_des, float)
             q_np_cur = np.asarray(q, float)

@@ -32,6 +32,8 @@ def _problem_set(cfg, B):
     from armour_tpu.sim.world import arm_collision_check
     from armour_tpu.collision.zonotope import ObstacleSet
 
+    import jax
+
     spec = kinova_gen3_spec()
     rng = np.random.default_rng(0)
     q0 = np.tile([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0], (B, 1))
@@ -39,40 +41,51 @@ def _problem_set(cfg, B):
     qd0 = rng.uniform(-0.2, 0.2, (B, 7))
     qdd0 = rng.uniform(-0.3, 0.3, (B, 7))
     q_des = q0 + rng.uniform(-1.0, 1.0, (B, 7)) * cfg.k_range
-    n_obs = 8
+    n_obs, n_cand = 8, 64
+    # all (world, candidate) collision screens in ONE device call — the
+    # per-candidate loop used to make thousands of tiny tunnel round trips
+    # and dominated bench wall time
+    c_all = rng.uniform(-0.85, 0.85, (B, n_cand, 3))
+    c_all[..., 2] = np.abs(c_all[..., 2]) + 0.1
+    s_all = rng.uniform(0.05, 0.3, (B, n_cand, 3))
+    cand_zonos = np.zeros((B, n_cand, 1, 4, 3), np.float32)
+    cand_zonos[:, :, 0, 0, :] = c_all
+    for i in range(3):
+        cand_zonos[:, :, 0, 1 + i, i] = (s_all[..., i] + 0.1) * 0.5
+    cand_mask = np.ones((B, n_cand, 1), bool)
+
+    def screen(q_b, z_bc, m_bc):
+        return arm_collision_check(spec, q_b, ObstacleSet(z_bc, m_bc))
+
+    hits = jax.jit(jax.vmap(jax.vmap(screen, in_axes=(None, 0, 0))))(
+        jnp.asarray(q0, jnp.float32), jnp.asarray(cand_zonos),
+        jnp.asarray(cand_mask),
+    )
+    hits = np.asarray(hits).reshape(B, n_cand)
     zonos = np.zeros((B, cfg.max_obstacles, 4, 3))
-    for b in range(B):
-        kept = 0
-        for _ in range(200):
-            if kept >= n_obs:
-                break
-            c = rng.uniform(-0.85, 0.85, 3)
-            c[2] = abs(c[2]) + 0.1
-            s_ = rng.uniform(0.05, 0.3, 3)
-            obs = ObstacleSet.from_boxes(
-                c[None], (s_ + 0.1)[None], 1, jnp.float32)
-            if bool(arm_collision_check(spec, jnp.asarray(q0[b], jnp.float32),
-                                        obs)):
-                continue
-            zonos[b, kept, 0] = c
-            for i in range(3):
-                zonos[b, kept, 1 + i, i] = s_[i] * 0.5
-            kept += 1
     masks = np.zeros((B, cfg.max_obstacles), bool)
-    masks[:, :n_obs] = True
+    for b in range(B):
+        keep = np.nonzero(~hits[b])[0][:n_obs]
+        zonos[b, : keep.size, 0] = c_all[b, keep]
+        for i in range(3):
+            zonos[b, : keep.size, 1 + i, i] = s_all[b, keep, i] * 0.5
+        masks[b, : keep.size] = True
     return q0, qd0, qdd0, q_des, zonos, masks
 
 
-def _setup():
-    import jax
+# Bench defaults to the REPO-COMMITTED compilation cache: /tmp is wiped
+# between rounds, and a cold-cache compile through the remote TPU compile
+# service has blown the wall-clock budget before (BENCH_r02).  Entries are
+# keyed by jax version + backend + program, so stale entries are simply
+# misses.  JAX_CACHE_DIR still overrides.
+REPO_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-    except Exception:
-        pass
+
+def _setup():
+    from armour_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache(os.environ.get("JAX_CACHE_DIR") or REPO_CACHE)
+    import jax
     import jax.numpy as jnp
 
     from armour_tpu.config import PlannerConfig
@@ -179,28 +192,49 @@ def main():
         run_single_mode()
         return
 
-    # orchestrate: each mode runs in a subprocess with a wall-clock budget
-    # (batch gets more: its cold-cache compile alone can exceed 420 s; with
-    # the persistent compilation cache warm it comes up in well under 60 s)
-    budgets = {
-        "batch": int(os.environ.get("BENCH_TIMEOUT", "900")),
-        "single": int(os.environ.get("BENCH_TIMEOUT", "420")),
-    }
-    for sub_mode in ("batch", "single"):
-        env = dict(os.environ, BENCH_MODE=sub_mode)
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=budgets[sub_mode], capture_output=True, text=True,
-            )
-            for line in r.stdout.splitlines():
-                if line.startswith("{"):
-                    print(line)
-                    return
-        except subprocess.TimeoutExpired:
-            continue
+    # orchestrate: each attempt runs in a subprocess with a wall-clock
+    # budget (a cold-cache compile through the remote TPU compile service
+    # can exceed 420 s; with the persistent cache warm — the repo commits
+    # one — each comes up in well under 60 s).  Progressively smaller
+    # programs so SOME honest number always lands: batch 128 -> batch 32
+    # (quarter-size solve program) -> sequential single-plan.
+    attempts = [
+        ("batch", {"BENCH_BATCH": "128"}, int(os.environ.get("BENCH_TIMEOUT", "900"))),
+        ("batch", {"BENCH_BATCH": "32"}, int(os.environ.get("BENCH_TIMEOUT", "600"))),
+        ("single", {}, int(os.environ.get("BENCH_TIMEOUT", "420"))),
+    ]
+    debug_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+    os.makedirs(debug_dir, exist_ok=True)
+    debug_path = os.path.join(debug_dir, "bench_last_stderr.txt")
+    failures = []
+    with open(debug_path, "w") as dbg:
+        for sub_mode, extra_env, budget in attempts:
+            env = dict(os.environ, BENCH_MODE=sub_mode, **extra_env)
+            tag = f"{sub_mode}:{extra_env.get('BENCH_BATCH', '-')}"
+            t0 = time.time()
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, timeout=budget, capture_output=True, text=True,
+                )
+                dbg.write(f"=== {tag} rc={r.returncode} "
+                          f"({time.time() - t0:.0f}s) ===\n{r.stderr[-8000:]}\n")
+                dbg.flush()
+                for line in r.stdout.splitlines():
+                    if line.startswith("{"):
+                        print(line)
+                        return
+                failures.append(f"{tag}: rc={r.returncode}, no JSON")
+            except subprocess.TimeoutExpired as e:
+                err = (e.stderr or b"")
+                if isinstance(err, bytes):
+                    err = err.decode(errors="replace")
+                dbg.write(f"=== {tag} TIMEOUT after {budget}s ===\n{err[-8000:]}\n")
+                dbg.flush()
+                failures.append(f"{tag}: timeout {budget}s")
     _emit(0.0, {"mode": "unavailable",
-                "error": "TPU compile/exec did not complete within budget"})
+                "error": "TPU compile/exec did not complete within budget: "
+                         + "; ".join(failures)})
 
 
 if __name__ == "__main__":

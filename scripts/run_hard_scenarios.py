@@ -17,10 +17,13 @@ def main():
     ap.add_argument("--max-iterations", type=int, default=600,
                     help="reference hard-scene cap "
                          "(kinova_run_hard_scenarios.m:65 max_sim_iter=600)")
-    ap.add_argument("--hlp", default="ee_rrt_star",
-                    choices=["ee_rrt_star", "straight"],
-                    help="the reference instantiates the workspace EE RRT* "
-                         "HLP for these scenes (:150)")
+    ap.add_argument("--hlp", default="rrt_connect",
+                    choices=["rrt_connect", "ee_rrt_star", "straight"],
+                    help="config-space RRT-connect guidance (default) routes "
+                         "the WHOLE ARM through narrow passages; the "
+                         "reference instantiates the workspace EE RRT* HLP "
+                         "for these scenes (:150) but its EE-only paths "
+                         "cannot express doorway/window arm threading")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--out", default="", help="write JSON summary here")
     args = ap.parse_args()

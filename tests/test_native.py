@@ -73,23 +73,27 @@ def test_kinova_stl_frames_match_link_zonotopes():
         np.testing.assert_allclose(h, SPEC.link_zono_gen[i], atol=1e-5)
 
 
-def test_stl_mesh_hits_subset_of_box_hits(rng):
+def test_stl_mesh_hits_subset_of_box_hits():
     """On random configurations, every exact STL-mesh hit must also be a
-    box-check hit (boxes bound the meshes); and the broad-phase-filtered
-    kernel must agree with itself across duplicate calls."""
+    box-check hit (boxes bound the meshes), and the meshes must be strictly
+    tighter: SMALL obstacles graze link bounding boxes without touching the
+    mesh, so some box hits get refuted.  (Large obstacles make box and mesh
+    verdicts identical — every hit is deep — which is why this setup uses
+    0.02-0.08 m sides; seed 0 yields box=11 / mesh=9 / refuted=2.)"""
     if SPEC.mesh_paths is None:
         pytest.skip("reference kinova STLs not mounted")
     oracle = oracle_for_spec(SPEC)
-    qs = rng.uniform(-2, 2, (60, 7))
-    centers = rng.uniform(-0.7, 0.7, (5, 3))
-    centers[:, 2] = np.abs(centers[:, 2]) + 0.2
-    sides = rng.uniform(0.1, 0.4, (5, 3))
+    rng = np.random.default_rng(0)
+    qs = rng.uniform(-2, 2, (80, 7))
+    centers = rng.uniform(-0.6, 0.6, (8, 3))
+    centers[:, 2] = np.abs(centers[:, 2]) + 0.1
+    sides = rng.uniform(0.02, 0.08, (8, 3))
     obs = ObstacleSet.from_boxes(centers, sides, 8)
     box_hits = np.array(arm_collision_check(SPEC, jnp.asarray(qs), obs))
     Rw, pw = forward_kinematics(SPEC, jnp.asarray(qs))
     aabb = np.concatenate([centers, sides * 0.5], axis=1)
     mesh_hits = oracle.check(np.array(Rw), np.array(pw), aabb)
     assert not (mesh_hits & ~box_hits).any()
-    # meshes are tighter: expect at least one box hit to be refuted on a
-    # spread of random configs (probabilistic but extremely stable at n=60)
-    assert (box_hits & ~mesh_hits).sum() >= 0
+    assert box_hits.sum() >= 5  # the setup actually exercises collisions
+    # meshes are tighter: at least one box hit refuted by the exact oracle
+    assert (box_hits & ~mesh_hits).sum() >= 1

@@ -20,9 +20,15 @@ def _run(code: str, timeout=900):
 
 
 def test_dryrun_multichip_4dev():
-    r = _run(
-        "import __graft_entry__ as g; g.dryrun_multichip(4)"
-    )
+    # tiny shapes in the fast suite; the driver (and the slow suite's
+    # production-shape variant) exercise the full T=128/40-obstacle program
+    os.environ["ARMOUR_DRYRUN_TINY"] = "1"
+    try:
+        r = _run(
+            "import __graft_entry__ as g; g.dryrun_multichip(4)"
+        )
+    finally:
+        os.environ.pop("ARMOUR_DRYRUN_TINY", None)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun_multichip OK" in r.stdout
 

@@ -1,0 +1,159 @@
+"""C19 legacy rotatotope planner tests: self-intersection constraint
+machinery + the assembled planner on the fetch-role (kinova) and the 2-D
+planar arms (`robot_arm_rotatotope_RTD_planner_{3D_fetch,2D_2link,2D_6link}.m`)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from armour_tpu.config import PlannerConfig
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.dynamics.pz_rnea import build_reachable_sets
+from armour_tpu.jrs.armtd import armtd_ref, make_armtd_jrs
+from armour_tpu.planner.rotatotope import (
+    build_self_intersection,
+    rotatotope_planner,
+    self_intersection_pairs,
+    self_intersection_values_multi,
+    self_intersection_with_jac_multi,
+)
+from armour_tpu.robots.kinova import kinova_gen3_spec
+from armour_tpu.robots.planar import planar_arm_spec
+
+SPEC = kinova_gen3_spec()
+F64 = jnp.float64
+
+
+def _cfg(**kw):
+    base = dict(num_time_steps=16, max_obstacles=8, nlp_num_starts=2,
+                nlp_outer_iters=4, nlp_inner_iters=4)
+    base.update(kw)
+    return dataclasses.replace(PlannerConfig(**base), input_constraints=False)
+
+
+def _si_bank(q0, qd0, pairs, cfg):
+    jrs = make_armtd_jrs(SPEC, cfg, jnp.asarray(q0, F64),
+                         jnp.asarray(qd0, F64), F64)
+    rs = build_reachable_sets(SPEC, cfg, jrs, F64)
+    return build_self_intersection(rs.link_pz, rs.link_indep_gens, pairs), jrs
+
+
+def test_pair_selection():
+    """Auto pairs: non-adjacent only; kinova home-separated set is the full
+    j >= i + 2 family; a 2-link arm has none (matching the 2D_2link planner,
+    which carries no self-intersection block); 6-link planar has 10."""
+    pairs = self_intersection_pairs(SPEC)
+    assert pairs and all(j >= i + 2 for i, j in pairs)
+    # 15 non-adjacent pairs minus the wrist cluster (3,5)/(4,6), whose home
+    # clearance (~0.06-0.07 m) is below the FRS fattening scale
+    assert len(pairs) == 13
+    assert (3, 5) not in pairs and (4, 6) not in pairs
+    assert self_intersection_pairs(planar_arm_spec(2)) == []
+    assert len(self_intersection_pairs(planar_arm_spec(6))) == 10
+
+
+def test_home_feasible_folded_violated():
+    """The separation constraint must accept the home posture and reject
+    postures where non-adjacent link volumes overlap (arm folded onto
+    itself) — the failure the legacy planners guard against."""
+    pairs = self_intersection_pairs(SPEC)
+    cfg = _cfg()
+    K = jnp.zeros((1, 7), F64)
+    (diff, R), _ = _si_bank(np.zeros(7), np.zeros(7), pairs, cfg)
+    c_home = np.asarray(self_intersection_values_multi(diff, R, K))
+    assert c_home.max() <= 0.0
+    (diff, R), _ = _si_bank(np.array([0, 2.7, 0, 2.7, 0, 0, 0.0]),
+                            np.zeros(7), pairs, cfg)
+    c_fold = np.asarray(self_intersection_values_multi(diff, R, K))
+    assert c_fold.max() > 0.05
+
+
+def test_jacobian_matches_finite_differences(rng):
+    pairs = self_intersection_pairs(SPEC)
+    cfg = _cfg()
+    (diff, R), _ = _si_bank(np.zeros(7), np.full(7, 0.2), pairs, cfg)
+    K = jnp.asarray(rng.uniform(-0.7, 0.7, (3, 7)))
+    _, J = self_intersection_with_jac_multi(diff, R, K)
+    eps = 1e-6
+    for i in range(7):
+        cp = self_intersection_values_multi(diff, R, K.at[:, i].add(eps))
+        cm = self_intersection_values_multi(diff, R, K.at[:, i].add(-eps))
+        fd = (np.asarray(cp) - np.asarray(cm)) / (2 * eps)
+        np.testing.assert_allclose(fd, np.asarray(J)[..., i], atol=1e-7)
+
+
+def test_constraint_sound_on_sampled_trajectories(rng):
+    """If the bank declares (t, pair) separated at k, the REAL link boxes
+    (exact FK at times sampled inside interval t) must be separated — the
+    FRS boxes over-approximate the trajectory, so feasibility is sound."""
+    from armour_tpu.dynamics.rnea import forward_kinematics
+
+    pairs = self_intersection_pairs(SPEC)
+    cfg = _cfg()
+    q0 = np.array([0.6, -0.1, -0.5, -1.2, -1.6, -1.1, 0.0])
+    qd0 = rng.uniform(-0.2, 0.2, 7)
+    (diff, R), jrs = _si_bank(q0, qd0, pairs, cfg)
+    k = jnp.asarray(rng.uniform(-1, 1, 7))
+    c = np.asarray(self_intersection_values_multi(diff, R, k[None]))[0]
+
+    c_l = np.asarray(SPEC.link_zono_center)
+    g_l = np.asarray(SPEC.link_zono_gen)
+    dt = cfg.duration / cfg.num_time_steps
+    for t_idx in range(0, cfg.num_time_steps, 3):
+        for s in (0.1, 0.9):
+            t = (t_idx + s) * dt
+            q, _, _ = armtd_ref(jnp.asarray(q0, F64), jnp.asarray(qd0, F64),
+                                jrs.k_range * k, t, cfg.t_plan, cfg.duration)
+            Rw, pw = forward_kinematics(SPEC, q)
+            Rw, pw = np.asarray(Rw, float), np.asarray(pw, float)
+            ctr = pw + np.einsum("lij,lj->li", Rw, c_l)
+            rad = np.einsum("lij,lj->li", np.abs(Rw), g_l)
+            for p_idx, (i, j) in enumerate(pairs):
+                if c[t_idx, p_idx] <= 0.0:
+                    sep = np.abs(ctr[i] - ctr[j]) - (rad[i] + rad[j])
+                    assert sep.max() > -1e-9, (t_idx, (i, j), sep)
+
+
+def test_rotatotope_planner_end_to_end(rng):
+    """The assembled legacy planner (orig JRS + obstacles + self-
+    intersection) plans a feasible k in an open world, and its plan matches
+    the plain ARMTD planner when the self-intersection block is inactive."""
+    from armour_tpu.planner.armour import ArmourPlanner
+
+    cfg = _cfg()
+    q0 = jnp.asarray([0.6, -0.1, -0.5, -1.2, -1.6, -1.1, 0.0], F64)
+    qd0 = jnp.zeros(7, F64)
+    q_des = q0 + 0.3
+    obs = ObstacleSet.from_boxes(
+        np.array([[0.5, 0.5, 0.8]]), np.array([[0.1, 0.1, 0.1]]), 8, F64)
+    key = jax.random.PRNGKey(0)
+
+    rp = rotatotope_planner(SPEC, cfg, F64)
+    res = rp.plan(q0, qd0, jnp.zeros(7, F64), q_des, obs, key)
+    assert bool(res.feasible)
+
+    plain = ArmourPlanner(SPEC, cfg, F64, traj_type="orig")
+    res0 = plain.plan(q0, qd0, jnp.zeros(7, F64), q_des, obs, key)
+    assert bool(res0.feasible)
+    np.testing.assert_allclose(np.asarray(res.k), np.asarray(res0.k), atol=5e-3)
+
+
+def test_planar_six_link_plans():
+    """2-D 6-link variant (`robot_arm_rotatotope_RTD_planner_2D_6link.m`):
+    the same stack runs on a planar chain, self-intersection included."""
+    spec = planar_arm_spec(6)
+    cfg = dataclasses.replace(
+        PlannerConfig(num_time_steps=16, max_obstacles=8, nlp_num_starts=2,
+                      nlp_outer_iters=4, nlp_inner_iters=4),
+        input_constraints=False)
+    rp = rotatotope_planner(spec, cfg, F64)
+    q0 = jnp.asarray([0.3, -0.4, 0.5, -0.3, 0.2, 0.1], F64)
+    obs = ObstacleSet.from_boxes(
+        np.array([[1.5, 1.5, 0.1]]), np.array([[0.2, 0.2, 0.2]]), 8, F64)
+    res = rp.plan(q0, jnp.zeros(6, F64), jnp.zeros(6, F64), q0 + 0.25,
+                  obs, jax.random.PRNGKey(1))
+    assert bool(res.feasible)
+    assert np.all(np.isfinite(np.asarray(res.k)))
