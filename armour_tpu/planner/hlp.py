@@ -39,6 +39,93 @@ def _wrap(x):
     return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
+def _np_forward_kinematics(spec: RobotSpec, q: np.ndarray):
+    """Pure-numpy world-frame (R_w, p_w): the host twin of
+    `dynamics/rnea.py::forward_kinematics` (parity-tested)."""
+    N = q.shape[0]
+    fixed = spec.fixed_rotations()
+    Rw = np.broadcast_to(np.eye(3), (N, 3, 3)).copy()
+    pw = np.zeros((N, 3))
+    Rws, pws = [], []
+    for i in range(spec.n_joints):
+        pw = pw + Rw @ spec.trans[i]
+        axis = int(spec.axes[i])
+        if axis != 0:
+            c = np.cos(q[:, i])
+            s = (1.0 if axis > 0 else -1.0) * np.sin(q[:, i])
+            a = abs(axis) - 1
+            R = np.zeros((N, 3, 3))
+            if a == 0:
+                R[:, 0, 0] = 1
+                R[:, 1, 1], R[:, 1, 2] = c, -s
+                R[:, 2, 1], R[:, 2, 2] = s, c
+            elif a == 1:
+                R[:, 0, 0], R[:, 0, 2] = c, s
+                R[:, 1, 1] = 1
+                R[:, 2, 0], R[:, 2, 2] = -s, c
+            else:
+                R[:, 0, 0], R[:, 0, 1] = c, -s
+                R[:, 1, 0], R[:, 1, 1] = s, c
+                R[:, 2, 2] = 1
+            Ri = fixed[i] @ R
+        else:
+            Ri = np.broadcast_to(fixed[i], (N, 3, 3))
+        Rw = Rw @ Ri
+        Rws.append(Rw)
+        pws.append(pw)
+    return np.stack(Rws, axis=1), np.stack(pws, axis=1)
+
+
+def _host_checker(spec: RobotSpec, obstacles: ObstacleSet):
+    """PURE-NUMPY batched arm-vs-obstacle query for the host-side RRT
+    planners (semantics of `sim/world.py::arm_collision_check`: SAT between
+    each link's oriented box and each obstacle AABB; parity-tested).
+
+    The RRT planners make thousands of small queries; going through jax
+    here was a tar pit on the deployment environment — a remote-tunneled
+    accelerator turns every query (or even a single D2H transfer of the
+    obstacle bank) into a round trip that can stall minutes, and per-world
+    jit closures recompile endlessly.  numpy answers in microseconds with
+    zero dispatch risk."""
+    z = np.asarray(obstacles.zonos, float)
+    live = np.asarray(obstacles.mask)
+    obs_c = z[live, 0]                                  # (O, 3)
+    obs_half = np.abs(z[live, 1:]).sum(axis=1)          # (O, 3)
+    half = np.asarray(spec.link_zono_gen, float)        # (L, 3)
+    c_loc = np.asarray(spec.link_zono_center, float)    # (L, 3)
+
+    def query(qs):
+        qs = np.atleast_2d(np.asarray(qs, float))
+        N = qs.shape[0]
+        if obs_c.shape[0] == 0:
+            return np.zeros(N, bool)
+        Rw, pw = _np_forward_kinematics(spec, qs)       # (N,L,3,3), (N,L,3)
+        obb_c = np.einsum("nlij,lj->nli", Rw, c_loc) + pw
+        d = obb_c[:, :, None] - obs_c[None, None]       # (N, L, O, 3)
+        Rb = Rw[:, :, None]                             # (N, L, 1, 3, 3)
+        sep = np.zeros(d.shape[:-1], bool)
+        eye = np.eye(3)
+        # 15 SAT axes: world, OBB columns, cross products
+        axes = [np.broadcast_to(eye[i], d.shape) for i in range(3)]
+        axes += [np.broadcast_to(Rb[..., :, i], d.shape) for i in range(3)]
+        for i in range(3):
+            for j in range(3):
+                axes.append(np.cross(Rb[..., :, i], eye[j]))
+        for L_ax in axes:
+            norm = np.linalg.norm(L_ax, axis=-1, keepdims=True)
+            Ln = np.divide(L_ax, norm, out=np.zeros_like(L_ax),
+                           where=norm > 1e-9)
+            dist = np.abs((d * Ln).sum(-1))
+            r_obb = (np.abs(np.einsum("nloi,nloij->nloj", Ln,
+                                      np.broadcast_to(Rb, d.shape + (3,))))
+                     * half[None, :, None]).sum(-1)
+            r_aabb = (np.abs(Ln) * obs_half[None, None]).sum(-1)
+            sep |= (dist > r_obb + r_aabb) & (norm[..., 0] > 1e-9)
+        return (~sep).any(axis=(1, 2))
+
+    return query
+
+
 def straight_line_waypoint(spec: RobotSpec, q_cur, goal, lookahead: float = 1.0):
     """q_cur + lookahead * unit(goal - q_cur), angdiff on continuous joints."""
     d = goal - q_cur
@@ -108,7 +195,7 @@ def rrt_waypoints(
     lb = np.where(spec.continuous_joints, -np.pi, spec.pos_limits_lb)
     ub = np.where(spec.continuous_joints, np.pi, spec.pos_limits_ub)
 
-    check = jax.jit(lambda qs: arm_collision_check(spec, qs, obstacles))
+    check = _host_checker(spec, obstacles)
 
     nodes = np.zeros((max_nodes, nf))
     parent = np.full(max_nodes, -1, np.int64)
@@ -178,14 +265,20 @@ def rrt_star_waypoints(
     step: float = 0.3,
     goal_bias: float = 0.2,
     rewire_radius: float = 0.6,
+    time_budget_s: float | None = None,
 ) -> np.ndarray | None:
     """Config-space RRT* (`RRT_star_HLP.m`): RRT growth + choose-best-parent
-    + radius rewiring, so the returned path cost is locally optimal."""
+    + radius rewiring, so the returned path cost is locally optimal.
+    ``time_budget_s`` bounds wall time (battery escalations must not let a
+    pathless world exhaust max_nodes for minutes)."""
+    import time as _time
+
+    deadline = None if time_budget_s is None else _time.monotonic() + time_budget_s
     nf = spec.n_factors
     rng = np.random.default_rng(seed)
     lb = np.where(spec.continuous_joints, -np.pi, spec.pos_limits_lb)
     ub = np.where(spec.continuous_joints, np.pi, spec.pos_limits_ub)
-    check = jax.jit(lambda qs: arm_collision_check(spec, qs, obstacles))
+    check = _host_checker(spec, obstacles)
 
     nodes = np.zeros((max_nodes, nf))
     parent = np.full(max_nodes, -1, np.int64)
@@ -195,8 +288,10 @@ def rrt_star_waypoints(
     goal = np.asarray(goal)
     goal_idx = -1
 
-    for _ in range(max_nodes * 4):
+    for it in range(max_nodes * 4):
         if n >= max_nodes:
+            break
+        if deadline is not None and it % 32 == 0 and _time.monotonic() > deadline:
             break
         target = goal if rng.uniform() < goal_bias else rng.uniform(lb, ub)
         d = np.linalg.norm(nodes[:n] - target, axis=-1)
@@ -248,14 +343,19 @@ def rrt_connect_waypoints(
     seed: int = 0,
     max_nodes: int = 1000,
     step: float = 0.3,
+    time_budget_s: float | None = None,
 ) -> np.ndarray | None:
     """Bidirectional RRT (`RRT_connect_HLP.m`): grow trees from start and
-    goal toward each other, greedily extending until they connect."""
+    goal toward each other, greedily extending until they connect.
+    ``time_budget_s`` bounds wall time on pathless worlds."""
+    import time as _time
+
+    deadline = None if time_budget_s is None else _time.monotonic() + time_budget_s
     nf = spec.n_factors
     rng = np.random.default_rng(seed)
     lb = np.where(spec.continuous_joints, -np.pi, spec.pos_limits_lb)
     ub = np.where(spec.continuous_joints, np.pi, spec.pos_limits_ub)
-    check = jax.jit(lambda qs: arm_collision_check(spec, qs, obstacles))
+    check = _host_checker(spec, obstacles)
 
     trees = [
         {"nodes": [np.asarray(start, float)], "parent": [-1]},
@@ -276,6 +376,8 @@ def rrt_connect_waypoints(
         return new
 
     for it in range(max_nodes):
+        if deadline is not None and it % 32 == 0 and _time.monotonic() > deadline:
+            break
         a, b = trees[it % 2], trees[(it + 1) % 2]
         target = rng.uniform(lb, ub)
         new = extend(a, target)
@@ -492,7 +594,7 @@ def prm_waypoints(
     rng = np.random.default_rng(seed)
     lb = np.where(spec.continuous_joints, -np.pi, spec.pos_limits_lb)
     ub = np.where(spec.continuous_joints, np.pi, spec.pos_limits_ub)
-    check = jax.jit(lambda qs: arm_collision_check(spec, qs, obstacles))
+    check = _host_checker(spec, obstacles)
 
     samples = rng.uniform(lb, ub, (n_samples, nf))
     free = ~np.asarray(check(jnp.asarray(samples)))

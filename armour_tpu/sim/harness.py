@@ -426,9 +426,14 @@ def run_batch_stepped(
     # config-space RRT guidance plans against 3 cm-INFLATED obstacles: the
     # ARMOUR planner buffers obstacles by the FRS radii, so a corridor that
     # the bare arm barely fits through is unusable — the margin keeps the
-    # waypoints trackable (`uarmtd_planner.m` buffer_dist plays this role)
-    _infl = jnp.asarray(np.eye(3) * 0.03, dtype)
-    zonos_infl = zonos.at[:, :, 1:].add(_infl[None, None])
+    # waypoints trackable (`uarmtd_planner.m` buffer_dist plays this role).
+    # Kept in NUMPY: the host-side RRT planners must never touch the
+    # tunneled accelerator (a single on-demand D2H transfer has been
+    # observed to stall for minutes)
+    zonos_host = np.asarray(zonos)
+    masks_host = np.asarray(masks)
+    zonos_infl = zonos_host.copy()
+    zonos_infl[:, :, 1:] += (np.eye(3) * 0.03).astype(zonos_host.dtype)
 
     def _plan_cfg_path(w, q_from, seed):
         """Config-space guidance path: RRT-connect (narrow-passage
@@ -438,12 +443,14 @@ def run_batch_stepped(
             rrt_star_waypoints,
         )
 
-        obs_w = ObstacleSet(zonos_infl[w], masks[w])
+        obs_w = ObstacleSet(zonos_infl[w], masks_host[w])
         path = rrt_connect_waypoints(
-            spec, q_from, goals_np[w], obs_w, seed=seed, max_nodes=3000)
+            spec, q_from, goals_np[w], obs_w, seed=seed, max_nodes=3000,
+            time_budget_s=20.0)
         if path is None:
             path = rrt_star_waypoints(
-                spec, q_from, goals_np[w], obs_w, seed=seed)
+                spec, q_from, goals_np[w], obs_w, seed=seed,
+                time_budget_s=6.0)
         return path
     # workspace EE RRT* machinery (`kinova_run_hard_scenarios.m:150`
     # instantiates `arm_end_effector_RRT_star_HLP`): path planned over EE
@@ -469,7 +476,7 @@ def run_batch_stepped(
 
         path = ee_rrt_star_waypoints(
             spec, q_from, goals_np[w],
-            ObstacleSet(zonos[w], masks[w]), seed=seed)
+            ObstacleSet(zonos_host[w], masks_host[w]), seed=seed)
         if path is None:
             return False
         # densify to ~2 cm segments for nearest-point lookup
@@ -620,7 +627,7 @@ def run_batch_stepped(
                     if path is None:
                         path = ee_rrt_star_config_waypoints(
                             spec, q_np_cur[w], goals_np[w],
-                            ObstacleSet(zonos_infl[w], masks[w]),
+                            ObstacleSet(zonos_infl[w], masks_host[w]),
                             seed=77 * retry + w)
                     rrt_paths[w] = [path, 1]
                     ee_paths.pop(w, None)

@@ -35,6 +35,12 @@ def main():
                     help="ground-truth collision check: exact link-mesh oracle "
                          "(reference SurfaceIntersection parity) or conservative "
                          "bounding boxes (stepped driver only)")
+    ap.add_argument("--hlp", default="straight",
+                    choices=["straight", "rrt_connect", "ee_rrt_star"],
+                    help="initial waypoint family for the stepped driver "
+                         "(stalled worlds escalate regardless; "
+                         "kinova_run_100_worlds.m uses the straight-line "
+                         "HLP)")
     ap.add_argument("--out", default="", help="write JSON summary here")
     args = ap.parse_args()
 
@@ -79,6 +85,7 @@ def main():
             s = run_batch_stepped(
                 runner, starts[sl], goals[sl], zonos[sl], masks[sl], keys[sl],
                 verbose=True, collision_oracle=args.collision_oracle,
+                hlp=args.hlp,
             )
         else:
             s = jax.block_until_ready(

@@ -202,3 +202,21 @@ def test_ee_rrt_star_workspace_path():
     assert cfg_path is not None
     np.testing.assert_allclose(cfg_path[-1], q_goal, atol=1e-9)
     assert np.all(np.isfinite(cfg_path))
+
+
+def test_host_checker_matches_jax_oracle(rng):
+    """The pure-numpy host collision checker (RRT guidance path) must agree
+    exactly with the jitted `arm_collision_check` oracle — same FK, same
+    15-axis SAT — on a broad random sweep."""
+    from armour_tpu.planner.hlp import _host_checker
+    from armour_tpu.sim.world import arm_collision_check
+
+    centers = rng.uniform(-0.7, 0.7, (6, 3))
+    centers[:, 2] = np.abs(centers[:, 2]) + 0.1
+    sides = rng.uniform(0.05, 0.4, (6, 3))
+    obs = ObstacleSet.from_boxes(centers, sides, 8)
+    q = rng.uniform(-2.5, 2.5, (300, 7))
+    ref = np.asarray(arm_collision_check(SPEC, jnp.asarray(q), obs))
+    got = _host_checker(SPEC, obs)(q)
+    assert ref.sum() > 10 and ref.sum() < 290  # both classes exercised
+    np.testing.assert_array_equal(got, ref)

@@ -187,3 +187,36 @@ def test_run_batch_stepped_matches_flags():
     assert bool(np.all(np.asarray(s.goal_reached))), s
     assert not bool(np.any(np.asarray(s.collision)))
     assert not bool(np.any(np.asarray(s.ultimate_bound_violation)))
+
+
+@pytest.mark.slow
+def test_run_batch_stepped_rrt_connect_hlp():
+    """`hlp="rrt_connect"` plans a config-space guidance path up front and
+    the follower consumes it: the episode must reach the goal around an
+    obstacle sitting on the straight-line route."""
+    import jax
+
+    from armour_tpu.sim.harness import run_batch_stepped
+
+    pcfg = PlannerConfig(num_time_steps=8, max_obstacles=4,
+                         nlp_num_starts=2, nlp_outer_iters=6, nlp_inner_iters=6)
+    scfg = SimConfig(t_move=0.5, plant_dt=2e-3, check_dt=0.01,
+                     max_iterations=25, goal_radius=np.pi / 30)
+    runner = EpisodeRunner(SPEC, pcfg, scfg)
+    start = jnp.asarray([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    goal = start + 4.0 * pcfg.k_range
+    # a small box near the arm's mid-route workspace
+    obstacles = ObstacleSet.from_boxes(
+        np.array([[0.45, 0.35, 0.55]]), np.array([[0.12, 0.12, 0.12]]),
+        pcfg.max_obstacles)
+    s = run_batch_stepped(
+        runner,
+        start[None],
+        goal[None],
+        obstacles.zonos[None],
+        obstacles.mask[None],
+        jax.random.split(jax.random.PRNGKey(0), 1),
+        hlp="rrt_connect",
+    )
+    assert bool(np.asarray(s.goal_reached)[0]), s
+    assert not bool(np.asarray(s.collision)[0])
