@@ -25,7 +25,9 @@ def main():
     ap.add_argument("--max-worlds", type=int, default=100)
     ap.add_argument("--batch", type=int, default=0, help="worlds per device batch (0 = all)")
     ap.add_argument("--time-steps", type=int, default=128)
-    ap.add_argument("--max-iterations", type=int, default=150)
+    ap.add_argument("--max-iterations", type=int, default=500,
+                    help="reference battery cap "
+                         "(kinova_run_100_worlds.m:64 max_sim_iter=500)")
     ap.add_argument("--traj-type", default="bernstein", choices=["bernstein", "orig"])
     ap.add_argument("--driver", default="stepped", choices=["stepped", "scan"],
                     help="stepped = host-driven per-iteration jits (fast compile); "
