@@ -530,7 +530,9 @@ def run_batch_stepped(
                             jnp.asarray(seeds, dtype))
         q_wp = np.asarray(q_wp, float)
         ok = np.asarray(ok)
-        q_des_np = np.asarray(q_des_j, float)
+        # np.array (copy): np.asarray of a CPU-backend jax array is a
+        # read-only zero-copy view and the loop below writes into it
+        q_des_np = np.array(q_des_j, float)
         for i, w in enumerate(ws):
             # IK failure falls back to the global goal configuration
             # (arm_end_effector_RRT_star_HLP.m:77-80); near the path end
@@ -640,7 +642,7 @@ def run_batch_stepped(
                     print(f"  world {w}: {fam} escalation "
                           f"{'ok' if got else 'FAILED'} (try {retry + 1})")
         if rrt_paths:
-            q_des_np = np.asarray(q_des, float)
+            q_des_np = np.array(q_des, float)  # copy: see _ee_waypoints note
             q_np_cur = np.asarray(q, float)
             for w, st in rrt_paths.items():
                 path, idx = st
