@@ -34,7 +34,7 @@ def _fused_kernel(c_ref, dc_ref, A_ref, dpos_ref, dneg_ref, g_ref, J_ref):
     -> g (1,O,T), J (n,1,O,T)."""
     n = dc_ref.shape[0]
     O, T = dpos_ref.shape[-2:]
-    dtype = A_ref.dtype
+    dtype = dpos_ref.dtype  # A may be stored bf16; accumulate in f32
     l = pl.program_id(0)
 
     c0 = c_ref[0, l, :][None, :]  # (1, T), broadcasts over O
@@ -46,9 +46,9 @@ def _fused_kernel(c_ref, dc_ref, A_ref, dpos_ref, dneg_ref, g_ref, J_ref):
     a1 = jnp.zeros((O, T), dtype)
     a2 = jnp.zeros((O, T), dtype)
     for p in range(N_PAIR):  # static unroll; bank streamed exactly once
-        A0 = A_ref[p, 0, 0]
-        A1 = A_ref[p, 1, 0]
-        A2 = A_ref[p, 2, 0]
+        A0 = A_ref[p, 0, 0].astype(dtype)
+        A1 = A_ref[p, 1, 0].astype(dtype)
+        A2 = A_ref[p, 2, 0].astype(dtype)
         Ac = A0 * c0 + A1 * c1 + A2 * c2
         vp = Ac - dpos_ref[p, 0]
         vn = -Ac - dneg_ref[p, 0]
@@ -80,7 +80,7 @@ def fused_collision_value_jac(
     """Returns (g: (L, O, T), J: (n, L, O, T)); see module docstring."""
     P, _, L, O, T = A.shape
     n = dc_nclt.shape[0]
-    dtype = A.dtype
+    dtype = dpos.dtype
     grid = (L,)
     g, J = pl.pallas_call(
         _fused_kernel,
@@ -112,7 +112,7 @@ def _fused_kernel_multi(c_ref, dc_ref, A_ref, dpos_ref, dneg_ref, g_ref, J_ref):
     term).  c (S,3,L,T), dc (S,n,3,L,T) -> g (S,1,O,T), J (S,n,1,O,T)."""
     S, n = dc_ref.shape[0], dc_ref.shape[1]
     O, T = dpos_ref.shape[-2:]
-    dtype = A_ref.dtype
+    dtype = dpos_ref.dtype  # A may be stored bf16; accumulate in f32
     l = pl.program_id(0)
 
     best = [jnp.full((O, T), -1e30, dtype) for _ in range(S)]
@@ -120,9 +120,9 @@ def _fused_kernel_multi(c_ref, dc_ref, A_ref, dpos_ref, dneg_ref, g_ref, J_ref):
     a1 = [jnp.zeros((O, T), dtype) for _ in range(S)]
     a2 = [jnp.zeros((O, T), dtype) for _ in range(S)]
     for p in range(N_PAIR):
-        A0 = A_ref[p, 0, 0]
-        A1 = A_ref[p, 1, 0]
-        A2 = A_ref[p, 2, 0]
+        A0 = A_ref[p, 0, 0].astype(dtype)
+        A1 = A_ref[p, 1, 0].astype(dtype)
+        A2 = A_ref[p, 2, 0].astype(dtype)
         Dp = dpos_ref[p, 0]
         Dn = dneg_ref[p, 0]
         for s in range(S):
@@ -162,7 +162,7 @@ def fused_collision_value_jac_multi(
     """Returns (g: (S, L, O, T), J: (S, n, L, O, T))."""
     P, _, L, O, T = A.shape
     S, n = dc_snclt.shape[:2]
-    dtype = A.dtype
+    dtype = dpos.dtype
     g, J = pl.pallas_call(
         _fused_kernel_multi,
         grid=(L,),
@@ -191,13 +191,13 @@ def _value_kernel_multi(c_ref, A_ref, dpos_ref, dneg_ref, g_ref):
     no Jacobian output.  c (S,3,L,T) -> g (S,1,O,T)."""
     S = c_ref.shape[0]
     O, T = dpos_ref.shape[-2:]
-    dtype = A_ref.dtype
+    dtype = dpos_ref.dtype  # A may be stored bf16; accumulate in f32
     l = pl.program_id(0)
     best = [jnp.full((O, T), -1e30, dtype) for _ in range(S)]
     for p in range(N_PAIR):
-        A0 = A_ref[p, 0, 0]
-        A1 = A_ref[p, 1, 0]
-        A2 = A_ref[p, 2, 0]
+        A0 = A_ref[p, 0, 0].astype(dtype)
+        A1 = A_ref[p, 1, 0].astype(dtype)
+        A2 = A_ref[p, 2, 0].astype(dtype)
         Dp = dpos_ref[p, 0]
         Dn = dneg_ref[p, 0]
         for s in range(S):
@@ -232,6 +232,6 @@ def fused_collision_values_multi(
             pl.BlockSpec((P, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((S, 1, O, T), lambda l: (0, l, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, L, O, T), A.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, L, O, T), dpos.dtype),
         interpret=interpret,
     )(c_sclt, A, dpos, dneg)

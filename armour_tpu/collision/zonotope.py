@@ -91,11 +91,23 @@ def buffer_obstacles(
     link_indep_gens: jnp.ndarray,  # (T, L, 3, 6) from reduce_link
     obstacles: ObstacleSet,
     slack: float = 0.0,
+    store_bf16: bool = False,
 ) -> BufferedHyperplanes:
     """Build the hyperplane bank (CollisionChecking.cu:136-228), batched.
 
     ``slack`` inflates every obstacle's half-width (conservative padding for
     reduced-precision arithmetic).
+
+    ``store_bf16`` stores the normals A in bfloat16 (f32 runs only) — the
+    bank is the NLP's dominant HBM term and A is 3 of its 5 components.
+    SOUND BY CONSTRUCTION: A is quantized FIRST and the offsets dpos/dneg
+    are then computed in f32 as the support values of the buffered set FOR
+    THE QUANTIZED normals, so every hyperplane still bounds the set exactly
+    (a separating halfspace certificate is valid for ANY normal paired with
+    its own support offset).  Quantization only makes the separation test
+    marginally weaker (more conservative), never unsafe; the offsets stay
+    f32 because their precision sets the constraint-threshold resolution
+    (1e-4 m << bf16 ulp at d ~ 1 m).
     """
     T, L = link_indep_gens.shape[:2]
     O = obstacles.capacity
@@ -128,8 +140,12 @@ def buffer_obstacles(
     valid = norm[:, 0] > 1e-12
     A = jnp.where(valid[:, None], C / jnp.where(norm > 1e-12, norm, 1.0), 0.0)
 
-    d = jnp.einsum("pclot,oc->plot", A, obs_c)
-    delta = jnp.sum(jnp.abs(jnp.einsum("pclot,gclot->pglot", A, G)), axis=1) + slack
+    if store_bf16 and dtype == jnp.float32:
+        A = A.astype(jnp.bfloat16)
+    A_f = A.astype(dtype)  # offsets in f32 FOR the (possibly quantized) A
+
+    d = jnp.einsum("pclot,oc->plot", A_f, obs_c)
+    delta = jnp.sum(jnp.abs(jnp.einsum("pclot,gclot->pglot", A_f, G)), axis=1) + slack
 
     # fold the validity mask into the offsets (see BufferedHyperplanes doc)
     valid = valid & obstacles.mask[None, None, :, None]

@@ -72,6 +72,14 @@ class PlannerConfig:
     collision_numeric_slack: float = 1e-5
     torque_numeric_slack: float = 1e-3
 
+    # store the hyperplane-bank normals in bfloat16 (f32 runs only; f64
+    # runs ignore this).  Sound by construction — the f32 offsets are the
+    # support values FOR the quantized normals (see
+    # collision/zonotope.py::buffer_obstacles); only marginally more
+    # conservative.  Cuts the NLP's dominant HBM term by ~30% at the
+    # 40-obstacle worst case (roofline: PERFORMANCE.md).
+    collision_bank_bf16: bool = True
+
     # smooth-collision mode (the role of the reference's optional
     # Borrelli-dual formulation, `uarmtd_planner.m:723-743,810-856`): when
     # > 0, the NLP's collision block uses the everywhere-differentiable,
@@ -124,6 +132,37 @@ class SimConfig:
 
     # measurement noise (uarmtd_agent.m:314-325); 0 disables
     measurement_noise_std: float = 0.0
+
+    # ---- HLP escalation ladder (battery drivers, sim/harness.py) ----
+    # The reference swaps HLP classes by hand per scene
+    # (`kinova_run_hard_scenarios.m:150`); the drivers instead escalate
+    # per world when goal progress stalls.  Stall = consecutive replans
+    # without the best-so-far goal distance improving by progress_epsilon.
+    #
+    # stall >= stall_clearance: swap the straight-line waypoint for sampled
+    # clearance waypoints (in-graph, cheap).
+    stall_clearance: int = 3
+    # stall >= stall_guidance: plan a host-side guidance path (config-space
+    # RRT-connect/RRT*, alternating with the workspace EE-RRT* family on
+    # retries); a path no longer making progress (stall >= stall_path_stale)
+    # is re-planned from the CURRENT configuration.
+    stall_guidance: int = 8
+    stall_path_stale: int = 25
+    # stall >= stall_ee_replan: an ee_rrt_star-mode world re-plans its
+    # workspace path from the current end effector with a fresh seed.
+    stall_ee_replan: int = 20
+    # retry caps per world (guidance attempts are host wall-time bounded)
+    max_guidance_retries: int = 8
+    max_ee_retries: int = 10
+    # a guidance waypoint within this config-space distance of the current
+    # q is considered consumed and the follower advances to the next one
+    waypoint_advance_radius: float = 0.35
+    # minimum goal-distance improvement per replan that counts as progress
+    progress_epsilon: float = 2e-3
+    # obstacle inflation (meters, per axis on the AABB radius) used ONLY by
+    # the host-side guidance planners, so guidance corridors leave margin
+    # for the FRS buffering (`uarmtd_planner.m` buffer_dist role)
+    guidance_inflation: float = 0.03
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,116 @@
+"""iLQR low-level tracking controller (C14 parity:
+`simulator/agents/low_level_controllers/robot_arm_iLQR_LLC.m` role — the
+one reference LLC family without an analog through round 3).
+
+TPU-native form: a time-varying LQR around the reference trajectory.
+Because the planner's references are dynamically feasible (the inverse
+dynamics feedforward reproduces them exactly under nominal parameters),
+the iLQR backward pass around that nominal converges in a single sweep —
+so the controller IS one iLQR iteration, computed as:
+
+1. linearize the manipulator dynamics x' = [qd, M(q)^-1 (u - bias)] about
+   (x_ref(t), u_ff(t)) at ``dt_knot``-spaced knots (autodiff jacobians —
+   the reference would have hand-derived these),
+2. discrete Riccati recursion backward over the knots (`lax.scan` — fixed
+   trip count, jit/vmap-friendly),
+3. at control time, u = u_ff(t) - K(t) [q - q_des; qd - qd_des] with the
+   feedforward evaluated on the CONTINUOUS reference.
+
+Unlike the robust CBF law this carries no disturbance bound — it is a
+comparison baseline (like nominal/PID), expected to track well at small
+model uncertainty and to lose the ultimate bound as uncertainty grows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from armour_tpu.dynamics.rnea import bias_forces, mass_matrix, rnea
+from armour_tpu.robots.spec import RobotSpec
+
+
+def _wrap(x):
+    return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+def tvlqr_gain_schedule(
+    spec: RobotSpec,
+    traj_eval_fn,
+    t_move: float,
+    dt_knot: float = 0.01,
+    q_weight: float = 2500.0,
+    qd_weight: float = 100.0,
+    r_weight: float = 1e-2,
+):
+    """Backward-pass gains K: (N, nf, 2 nf) at knot times i * dt_knot.
+
+    ``traj_eval_fn(t) -> (q_des, qd_des, qdd_des)`` — closure over the
+    active TrajParams (any trajectory family).  Linearization uses the
+    NOMINAL model (the controller does not know the true parameters).
+    """
+    nf = spec.n_factors
+    n_knots = max(1, int(round(t_move / dt_knot)))
+    ts = jnp.arange(n_knots + 1) * dt_knot
+
+    q_ref, qd_ref, qdd_ref = jax.vmap(traj_eval_fn)(ts)
+    dtype = q_ref.dtype
+    u_ff = rnea(spec, q_ref, qd_ref, qd_ref, qdd_ref, use_gravity=True,
+                use_armature=True)
+
+    def f(x, u):
+        q, qd = x[:nf], x[nf:]
+        M = mass_matrix(spec, q, include_armature=True)
+        b = bias_forces(spec, q, qd)
+        return jnp.concatenate([qd, jnp.linalg.solve(M, u - b)])
+
+    def linearize(q, qd, u):
+        x = jnp.concatenate([q, qd])
+        Jx = jax.jacfwd(lambda xx: f(xx, u))(x)          # (2nf, 2nf)
+        Minv = jnp.linalg.inv(mass_matrix(spec, q, include_armature=True))
+        A = jnp.eye(2 * nf, dtype=dtype) + dt_knot * Jx
+        B = dt_knot * jnp.concatenate(
+            [jnp.zeros((nf, nf), dtype), Minv], axis=0)  # (2nf, nf)
+        return A, B
+
+    A_all, B_all = jax.vmap(linearize)(q_ref[:-1], qd_ref[:-1], u_ff[:-1])
+
+    Q = jnp.diag(jnp.concatenate([
+        jnp.full(nf, q_weight, dtype), jnp.full(nf, qd_weight, dtype)]))
+    R = r_weight * jnp.eye(nf, dtype=dtype)
+
+    def riccati(P, AB):
+        A, B = AB
+        BtP = B.T @ P
+        K = jnp.linalg.solve(R + BtP @ B, BtP @ A)       # (nf, 2nf)
+        Acl = A - B @ K
+        # Joseph-form propagation keeps P symmetric PSD in f32
+        P_new = Q + K.T @ R @ K + Acl.T @ P @ Acl
+        return 0.5 * (P_new + P_new.T), K
+
+    _, Ks = jax.lax.scan(riccati, Q, (A_all, B_all), reverse=True)
+    return Ks, u_ff[:-1]
+
+
+def ilqr_control(
+    spec: RobotSpec,
+    q,
+    qd,
+    q_des,
+    qd_des,
+    qdd_des,
+    K,
+    wrap_continuous: bool = True,
+):
+    """Apply one TVLQR knot gain: u = u_ff - K [e_q; e_qd], with u_ff the
+    inverse dynamics along the CONTINUOUS reference at this instant.
+    Returns (u, u_ff, v = feedback part) — the LLC triple shape."""
+    e = q - q_des
+    if wrap_continuous:
+        cont = jnp.asarray(spec.continuous_joints)
+        e = jnp.where(cont, _wrap(e), e)
+    de = qd - qd_des
+    u_ff = rnea(spec, q_des, qd_des, qd_des, qdd_des, use_gravity=True,
+                use_armature=True)
+    v = -K @ jnp.concatenate([e, de])
+    return u_ff + v, u_ff, v

@@ -1,0 +1,53 @@
+"""Tiny-matrix linear algebra, unrolled for the VPU.
+
+The NLP's Gauss-Newton systems (7x7 SPD, batched over starts x worlds) and
+the plant's mass-matrix solves are the only dense linear solves in the
+framework.  XLA lowers `jnp.linalg.solve` to a pivoted LU with sequential
+control flow — reasonable for large matrices, but for n = 7 the loop
+overhead dwarfs the arithmetic on TPU.  Unrolling Cholesky at trace time
+(n is static) turns the whole solve into ~n^3/3 fused elementwise ops over
+the batch, which XLA maps straight onto the VPU lanes with no control
+flow.
+
+Soundness note: callers pass SPD matrices (Gauss-Newton Hessian + ridge,
+mass matrix + transmission inertia).  The sqrt argument is clamped so a
+numerically semidefinite matrix degrades gracefully instead of NaN-ing.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def spd_solve_small(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve H x = g for SPD H of small static size.
+
+    H: (..., n, n), g: (..., n) -> x: (..., n); batched over leading dims.
+    Unrolled Cholesky + triangular solves (no pivoting — SPD needs none).
+    """
+    n = H.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = H[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = d
+        for i in range(j + 1, n):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s / d
+    y = [None] * n
+    for i in range(n):
+        s = g[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)

@@ -198,6 +198,7 @@ class ArmourPlanner:
                 rs.link_indep_gens,
                 ObstacleSet(obs_zonos, obs_mask),
                 slack=cfg.collision_numeric_slack,
+                store_bf16=cfg.collision_bank_bf16,
             )
             si_diff = si_rad = None
             if self._si_pairs:

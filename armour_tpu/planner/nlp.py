@@ -23,6 +23,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from armour_tpu.ops.linalg import spd_solve_small
+
 
 class ALMResult(NamedTuple):
     k: jnp.ndarray          # (n,) final iterate
@@ -76,8 +78,9 @@ def solve_box_alm(
         active = (a > 0.0).astype(dtype)
         H = mu * jnp.einsum("mi,m,mj->ij", J, active, J)
         H = H + jax.hessian(f_fn)(k) + newton_reg * jnp.eye(n, dtype=dtype)
-        # solve with Levenberg fallback on ill-conditioning
-        return -jnp.linalg.solve(H + 1e-10 * jnp.eye(n, dtype=dtype), grad)
+        # SPD by construction (GN + cost Hessian + ridge): unrolled Cholesky
+        # (ops/linalg.py) instead of XLA's looped LU
+        return -spd_solve_small(H + 1e-10 * jnp.eye(n, dtype=dtype), grad)
 
     def _jac(k):
         c, jvp = jax.linearize(c_fn, k)
@@ -227,7 +230,9 @@ def solve_box_alm_multi(
         active = (a > 0.0).astype(dtype)
         H = mu[:, None, None] * jnp.einsum("smi,sm,smj->sij", J, active, J)
         H = H + fhess_b(K) + (newton_reg + 1e-10) * eye_n[None]
-        dk = -jnp.linalg.solve(H, grad[..., None])[..., 0]
+        # SPD (GN + cost Hessian + ridge): unrolled batched Cholesky keeps
+        # the S 7x7 systems on the VPU (XLA's LU loops; see ops/linalg.py)
+        dk = -spd_solve_small(H, grad)
         phi0 = f_b(K) + penalty(c, lam, mu)
 
         # pick the step length on the linearized constraint model (exact f).

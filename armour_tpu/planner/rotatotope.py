@@ -34,6 +34,8 @@ selection (one-hot contraction; the `max_id` trick of
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +57,15 @@ def self_intersection_pairs(spec: RobotSpec, margin: float = 0.1) -> list:
     fetch class hard-codes its valid pair list for the same reason.
     Selection is host-side and static (part of the compiled program's
     shape).
+
+    SAFETY CAVEAT (advisor finding, round 3): a PRUNED pair receives NO
+    self-collision protection from this constraint block — and the pruned
+    pairs are precisely the ones closest together.  A warning lists them;
+    callers who need coverage of a close pair must pass an explicit pair
+    list to ``ArmourPlanner(self_intersection=[...])`` (accepting the extra
+    conservatism of the box-level test there) or rely on a downstream
+    oracle.  The battery oracles check arm-vs-obstacle only, so a wrist
+    self-collision would NOT be caught downstream.
     """
     from armour_tpu.dynamics.rnea import forward_kinematics
 
@@ -67,12 +78,22 @@ def self_intersection_pairs(spec: RobotSpec, margin: float = 0.1) -> list:
     centers = pw + np.einsum("lij,lj->li", Rw, c_l)
     # world-frame AABB radius of the rotated box
     rad = np.einsum("lij,lj->li", np.abs(Rw), g_l)
-    pairs = []
+    pairs, pruned = [], []
     for i in range(spec.n_joints):
         for j in range(i + 2, spec.n_joints):
             sep = np.abs(centers[i] - centers[j]) - (rad[i] + rad[j])
             if sep.max() > margin:
                 pairs.append((i, j))
+            else:
+                pruned.append((i, j))
+    if pruned:
+        warnings.warn(
+            "self_intersection_pairs: non-adjacent pairs "
+            f"{pruned} are within {margin} m home-pose clearance and were "
+            "PRUNED — they get no self-collision protection from this "
+            "constraint block; pass an explicit pair list to cover them",
+            stacklevel=2,
+        )
     return pairs
 
 

@@ -30,11 +30,18 @@ from armour_tpu.robots.spec import RobotSpec
 
 
 class TrajParams(NamedTuple):
-    """Active reference trajectory: a Bezier (q0, qd0, qdd0, k_actual) with a
-    time offset.  The braking fallback (`uarmtd_planner.m:883-933`) is
-    "continue the previous Bezier shifted by t_move": offset += t_move.
-    Clamping s to [0, 1] yields the exact terminal hold (qd = qdd = 0 at
-    s = 1 by construction of the Bezier)."""
+    """Active reference trajectory with a time offset.
+
+    For ``traj_type="bernstein"`` the fields parameterize a Bezier
+    (q0, qd0, qdd0, k_actual); for ``traj_type="orig"`` (ARMTD comparison
+    mode, C7) they parameterize the constant-acceleration peak-and-brake
+    trajectory of `..._comparison/Trajectory.h:18-60` /
+    `uarmtd_planner.m:858-937` (qdd0 is unused; k_actual is the
+    acceleration k_a = g_k * k).  The braking fallback
+    (`uarmtd_planner.m:883-933`) is "continue the previous trajectory
+    shifted by t_move": offset += t_move.  Clamping local time to
+    [0, duration] yields the exact terminal hold in BOTH
+    parameterizations (qd = qdd = 0 at t = duration by construction)."""
 
     q0: jnp.ndarray
     qd0: jnp.ndarray
@@ -43,9 +50,20 @@ class TrajParams(NamedTuple):
     t_offset: jnp.ndarray  # scalar
 
 
-def traj_eval(p: TrajParams, t, duration: float = 1.0):
-    """Reference (q, qd, qdd) at local time t (offset applied, s clamped)."""
+def traj_eval(p: TrajParams, t, duration: float = 1.0,
+              traj_type: str = "bernstein", t_plan: float = 0.5):
+    """Reference (q, qd, qdd) at local time t (offset applied, clamped).
+
+    ``traj_type`` selects the realized trajectory family; the executed
+    trajectory MUST match what the planner's reachable sets certified
+    (`uarmtd_planner.m:858-937` switches `desired_trajectory` the same
+    way), so the harness threads its traj_type through to every rollout.
+    """
     tt = jnp.clip(t + p.t_offset, 0.0, duration)
+    if traj_type == "orig":
+        from armour_tpu.jrs.armtd import armtd_ref
+
+        return armtd_ref(p.q0, p.qd0, p.k_actual, tt, t_plan, duration)
     return bezier_ref(p.q0, p.qd0, p.qdd0, p.k_actual, tt, duration)
 
 
@@ -74,6 +92,7 @@ def rollout_direct(
     traj: TrajParams,
     true_params: TrueParams,
     duration: float = 1.0,
+    traj_type: str = "bernstein",
 ):
     """'direct' move mode (`uarmtd_agent.m:493-507`): execute the reference
     trajectory exactly (no plant), logging nominal RNEA torques."""
@@ -81,11 +100,12 @@ def rollout_direct(
     ts = jnp.arange(n, dtype=q.dtype) * sim.check_dt
 
     def at(t):
-        return traj_eval(traj, t, duration)
+        return traj_eval(traj, t, duration, traj_type, sim.t_move)
 
     qs, qds, qdds = jax.vmap(at)(ts)
     us = rnea(spec, qs, qds, qds, qdds, use_gravity=True, use_armature=True)
-    q_end, qd_end, _ = traj_eval(traj, sim.t_move, duration)
+    q_end, qd_end, _ = traj_eval(traj, sim.t_move, duration, traj_type,
+                                 sim.t_move)
     log = RolloutLog(t=ts, q=qs, qd=qds, q_ref=qs, qd_ref=qds, u=us)
     return q_end, qd_end, log
 
@@ -100,6 +120,7 @@ def rollout(
     duration: float = 1.0,
     noise_key: jnp.ndarray | None = None,
     controller: str = "robust",
+    traj_type: str = "bernstein",
 ):
     """Integrate the closed loop over [0, t_move].
 
@@ -107,8 +128,12 @@ def rollout(
     controller (`uarmtd_agent.m:314-325`, sigma = SimConfig.measurement_noise_std).
     ``controller``: which low-level control law closes the loop —
     "robust" (ARMOUR CBF, the default), "althoff", "nominal"
-    (`uarmtd_nominal_passivity_LLC.m`), or "pid" (`robot_arm_PID_LLC.m`,
-    integral state threaded through the scan carry).
+    (`uarmtd_nominal_passivity_LLC.m`), "pid" (`robot_arm_PID_LLC.m`,
+    integral state threaded through the scan carry), or "ilqr"
+    (`robot_arm_iLQR_LLC.m`, gains precomputed per rollout).
+    ``traj_type``: trajectory family the plant tracks ("bernstein" Bezier
+    or "orig" ARMTD peak-and-brake; t_plan = sim.t_move as in the
+    reference where t_plan == t_move).
     Returns (q_end, qd_end, log at check_dt resolution).
     """
     n_steps = int(round(sim.t_move / sim.plant_dt))
@@ -123,8 +148,20 @@ def rollout(
     else:
         noise = jnp.zeros((n_steps, 2, spec.n_factors), q.dtype)
 
+    if controller == "ilqr":
+        # TVLQR backward pass once per rollout; gains looked up per step
+        from armour_tpu.control.ilqr import ilqr_control, tvlqr_gain_schedule
+
+        lqr_K, _ = tvlqr_gain_schedule(
+            spec,
+            lambda t: traj_eval(traj, t, duration, traj_type, sim.t_move),
+            sim.t_move, sim.check_dt,
+        )
+        n_knots = lqr_K.shape[0]
+
     def control(i, t, q, qd, i_err):
-        q_des, qd_des, qdd_des = traj_eval(traj, t, duration)
+        q_des, qd_des, qdd_des = traj_eval(traj, t, duration, traj_type,
+                                           sim.t_move)
         qm, qdm = q + noise[i, 0], qd + noise[i, 1]
         if controller == "robust":
             u, _, _ = robust_control(spec, qm, qdm, q_des, qd_des, qdd_des)
@@ -135,6 +172,11 @@ def rollout(
                 spec, qm, qdm, q_des, qd_des, qdd_des)
         elif controller == "pid":
             u, _, _ = pid_control(spec, qm, qdm, q_des, qd_des, qdd_des, i_err)
+        elif controller == "ilqr":
+            knot = jnp.minimum(
+                (t / sim.check_dt).astype(jnp.int32), n_knots - 1)
+            u, _, _ = ilqr_control(spec, qm, qdm, q_des, qd_des, qdd_des,
+                                   lqr_K[knot])
         else:
             raise ValueError(f"unknown controller {controller!r}")
         return u, qm - q_des
@@ -142,7 +184,12 @@ def rollout(
     def plant_acc(q, qd, u):
         M = mass_matrix_true(q)
         b = bias_true(q, qd)
-        return jnp.linalg.solve(M, u - b)
+        # M is SPD (mass matrix + transmission inertia on the diagonal):
+        # unrolled Cholesky (ops/linalg.py) — this solve runs 4x per RK4
+        # step at 2 kHz, and XLA's looped LU dominated the rollout on TPU
+        from armour_tpu.ops.linalg import spd_solve_small
+
+        return spd_solve_small(M, u - b)
 
     # true-params mass matrix / bias via RNEA with overridden params
     def mass_matrix_true(q):
@@ -178,7 +225,7 @@ def rollout(
         k4 = f((q + dt * k3[0], qd + dt * k3[1]))
         q_n = q + dt / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
         qd_n = qd + dt / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
-        q_ref, qd_ref, _ = traj_eval(traj, t, duration)
+        q_ref, qd_ref, _ = traj_eval(traj, t, duration, traj_type, sim.t_move)
         # i_err is the continuous-time integral of the position error
         # (dt-scaled), an intentional deviation from robot_arm_PID_LLC.m:90,
         # which sums raw per-step error so its effective integral gain is

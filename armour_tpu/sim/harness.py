@@ -94,6 +94,7 @@ class EpisodeRunner:
     def _make_episode_fn(self):
         spec, pcfg, scfg, dtype = self.spec, self.plan_cfg, self.sim_cfg, self.dtype
         planner_fn = self.planner._make_plan_fn()
+        traj_type = self.traj_type
         nf = spec.n_factors
         cont = jnp.asarray(spec.continuous_joints)
         ub_pos = spec.qe
@@ -113,6 +114,14 @@ class EpisodeRunner:
 
         def episode(start, goal, obs_zonos, obs_mask, key):
             obstacles = ObstacleSet(obs_zonos, obs_mask)
+            if self.goal_type == "end_effector_location":
+                # `end_effector_location` goal semantics
+                # (kinova_world_static.m:53-110): the goal CONFIG guides the
+                # HLP; success is the end effector reaching that config's
+                # workspace position
+                from armour_tpu.dynamics.utility import ee_pose
+
+                ee_target = ee_pose(spec, goal)[1]
             kt, key = jax.random.split(key)
             rng = scfg.uncertain_mass_range
             k1, k2 = jax.random.split(kt)
@@ -152,7 +161,8 @@ class EpisodeRunner:
                 key_i, key_wp, key_n = jax.random.split(c.key, 3)
                 # plan from the reference trajectory state at t_move
                 # (uarmtd_planner.m:91-94 uses reference_state)
-                q0p, qd0p, qdd0p = traj_eval(c.traj, scfg.t_move, pcfg.duration)
+                q0p, qd0p, qdd0p = traj_eval(c.traj, scfg.t_move, pcfg.duration,
+                                             traj_type, pcfg.t_plan)
                 # HLP escalation (in-graph twin of the stepped driver's):
                 # stalled worlds swap the straight-line waypoint for sampled
                 # clearance waypoints instead of re-driving into the same
@@ -168,9 +178,22 @@ class EpisodeRunner:
                 plan = planner_fn(q0p, qd0p, qdd0p, q_des, obs_zonos, obs_mask,
                                   key_i, c.k_prev)
 
+                # k_actual must use the SAME per-joint range the planner's
+                # reachable sets were built with: the constant pi/48 for
+                # Bezier (Parameters.h:21) but the velocity-dependent
+                # g_k = clamp(|qd0|/3, pi/24, pi/3) for ARMTD 'orig'
+                # (create_jrs_online.m:77) — scaling by pcfg.k_range in
+                # 'orig' mode would execute a trajectory the FRS never
+                # certified.
+                if traj_type == "orig":
+                    from armour_tpu.jrs.armtd import armtd_k_range
+
+                    k_scale = armtd_k_range(qd0p).astype(dtype)
+                else:
+                    k_scale = jnp.asarray(pcfg.k_range, dtype)
                 new_traj = TrajParams(
                     q0=q0p, qd0=qd0p, qdd0=qdd0p,
-                    k_actual=jnp.asarray(pcfg.k_range, dtype) * jnp.nan_to_num(plan.k),
+                    k_actual=k_scale * jnp.nan_to_num(plan.k),
                     t_offset=jnp.zeros((), dtype),
                 )
                 cont_traj = c.traj._replace(
@@ -182,13 +205,14 @@ class EpisodeRunner:
 
                 if self.move_mode == "direct":
                     q_n, qd_n, log = rollout_direct(
-                        spec, scfg, c.q, c.qd, traj, true_params, pcfg.duration
+                        spec, scfg, c.q, c.qd, traj, true_params, pcfg.duration,
+                        traj_type=traj_type,
                     )
                 else:
                     key_i, key_noise = jax.random.split(key_i)
                     q_n, qd_n, log = rollout(
                         spec, scfg, c.q, c.qd, traj, true_params, pcfg.duration,
-                        noise_key=key_noise,
+                        noise_key=key_noise, traj_type=traj_type,
                     )
 
                 # safety oracles at check_dt resolution
@@ -201,7 +225,7 @@ class EpisodeRunner:
                     jnp.abs(_wrap(log.q - log.q_ref)) > ub_pos + 1e-6
                 ) | jnp.any(jnp.abs(log.qd - log.qd_ref) > ub_vel + 1e-6)
                 if self.goal_type == "end_effector_location":
-                    reached = goal_check_ee(spec, q_n, goal[:3], scfg.goal_radius)
+                    reached = goal_check_ee(spec, q_n, ee_target, scfg.goal_radius)
                 else:
                     reached = goal_check(spec, q_n, goal, scfg.goal_radius)
 
@@ -297,6 +321,8 @@ def run_batch_stepped(
 
     spec, pcfg, scfg, dtype = runner.spec, runner.plan_cfg, runner.sim_cfg, runner.dtype
     planner = runner.planner
+    traj_type = runner.traj_type
+    ee_goal = runner.goal_type == "end_effector_location"
     nf = spec.n_factors
     B = starts.shape[0]
     cont = jnp.asarray(spec.continuous_joints)
@@ -308,7 +334,7 @@ def run_batch_stepped(
     ub_vel = 2.0 * spec.ultimate_bound
 
     from armour_tpu.sim.agent import TrajParams, TrueParams, rollout, traj_eval
-    from armour_tpu.sim.world import arm_collision_check, goal_check
+    from armour_tpu.sim.world import arm_collision_check, goal_check, goal_check_ee
 
     # shrink the obstacle bank to the smallest static bucket covering the
     # batch's live slots (see ArmourPlanner.obstacle_bucket) — the NLP's
@@ -363,7 +389,7 @@ def run_batch_stepped(
     def roll_and_check(q, qd, traj, tp, goal, zonos_b, masks_b, noise_keys):
         def one(q1, qd1, t1, p1, g1, z1, m1, nk1):
             q_n, qd_n, log = rollout(spec, scfg, q1, qd1, t1, p1, pcfg.duration,
-                                     noise_key=nk1)
+                                     noise_key=nk1, traj_type=traj_type)
             obs = ObstacleSet(z1, m1)
             col = jnp.any(arm_collision_check(spec, log.q, obs))
             tor = jnp.any(jnp.abs(log.u) > tlim[None, :] + 1e-6)
@@ -373,14 +399,27 @@ def run_batch_stepped(
             ubv = jnp.any(jnp.abs(_wrap(log.q - log.q_ref)) > ub_pos + 1e-6) | jnp.any(
                 jnp.abs(log.qd - log.qd_ref) > ub_vel + 1e-6
             )
-            reached = goal_check(spec, q_n, g1, scfg.goal_radius)
+            if ee_goal:
+                # `end_effector_location` goal type
+                # (kinova_world_static.m:53-110): the goal CONFIG g1 guides
+                # the HLP; success = the end effector reaching that config's
+                # workspace position
+                from armour_tpu.dynamics.utility import ee_pose
+
+                reached = goal_check_ee(spec, q_n, ee_pose(spec, g1)[1],
+                                        scfg.goal_radius)
+            else:
+                reached = goal_check(spec, q_n, g1, scfg.goal_radius)
             return q_n, qd_n, col, tor, jl, ubv, reached, log.q
 
         return jax.vmap(one)(q, qd, traj, tp, goal, zonos_b, masks_b, noise_keys)
 
     @jax.jit
     def ref_state(traj):
-        return jax.vmap(lambda t: traj_eval(t, scfg.t_move, pcfg.duration))(traj)
+        return jax.vmap(
+            lambda t: traj_eval(t, scfg.t_move, pcfg.duration, traj_type,
+                                pcfg.t_plan)
+        )(traj)
 
     @jax.jit
     def waypoints(q, goal):
@@ -423,27 +462,46 @@ def run_batch_stepped(
     ee_paths: dict = {}   # world -> densified (n_pts, 3) workspace EE path
     ee_retries: dict = {}
 
-    # config-space RRT guidance plans against 3 cm-INFLATED obstacles: the
-    # ARMOUR planner buffers obstacles by the FRS radii, so a corridor that
-    # the bare arm barely fits through is unusable — the margin keeps the
-    # waypoints trackable (`uarmtd_planner.m` buffer_dist plays this role).
+    # config-space RRT guidance plans against INFLATED obstacles
+    # (scfg.guidance_inflation, default 3 cm): the ARMOUR planner buffers
+    # obstacles by the FRS radii, so a corridor that the bare arm barely
+    # fits through is unusable — the margin keeps the waypoints trackable
+    # (`uarmtd_planner.m` buffer_dist plays this role).  Inflation is
+    # applied on the obstacle's AABB radius (abs-sum of generators per
+    # axis, the same radius the host checker uses), which is exact for the
+    # axis-aligned box obstacles and conservative for any other zonotope.
     # Kept in NUMPY: the host-side RRT planners must never touch the
     # tunneled accelerator (a single on-demand D2H transfer has been
     # observed to stall for minutes)
     zonos_host = np.asarray(zonos)
     masks_host = np.asarray(masks)
     zonos_infl = zonos_host.copy()
-    zonos_infl[:, :, 1:] += (np.eye(3) * 0.03).astype(zonos_host.dtype)
+    aabb_rad = np.abs(zonos_host[:, :, 1:]).sum(axis=2)      # (B, O, 3)
+    zonos_infl[:, :, 1:] = 0.0
+    for ax in range(3):
+        zonos_infl[:, :, 1 + ax, ax] = aabb_rad[:, :, ax] + scfg.guidance_inflation
 
     def _plan_cfg_path(w, q_from, seed):
         """Config-space guidance path: RRT-connect (narrow-passage
-        workhorse), RRT* fallback.  Returns (n_wp, nf) or None."""
+        workhorse), RRT* fallback.  Returns (n_wp, nf) or None.
+
+        A start or goal configuration already inside the INFLATED set makes
+        every guidance attempt fail by construction (e.g. the arm parked
+        close to a shelf), so those worlds fall back to the raw obstacle
+        set — the planner's own FRS buffering still guarantees safety; only
+        the guidance margin is given up."""
         from armour_tpu.planner.hlp import (
+            _host_checker,
             rrt_connect_waypoints,
             rrt_star_waypoints,
         )
 
         obs_w = ObstacleSet(zonos_infl[w], masks_host[w])
+        ends_blocked = bool(
+            _host_checker(spec, obs_w)(
+                np.stack([q_from, goals_np[w]])).any())
+        if ends_blocked:
+            obs_w = ObstacleSet(zonos_host[w], masks_host[w])
         path = rrt_connect_waypoints(
             spec, q_from, goals_np[w], obs_w, seed=seed, max_nodes=3000,
             time_budget_s=20.0)
@@ -562,25 +620,27 @@ def run_batch_stepped(
             break
         q0p, qd0p, qdd0p = ref_state(traj)
         q_des = waypoints(q, jnp.asarray(goals, dtype))
-        if (stall >= 3).any():
+        if (stall >= scfg.stall_clearance).any():
             # stalled worlds explore sampled waypoints instead of driving
             # into the same local minimum every replan
             wp_keys = jax.vmap(lambda k: jax.random.split(k)[1])(loop_keys)
             q_clear = clearance_waypoints(
                 q, jnp.asarray(goals, dtype), zonos, masks, wp_keys
             )
-            q_des = jnp.where(jnp.asarray(stall >= 3)[:, None], q_clear, q_des)
-        if hlp == "ee_rrt_star" and ee_paths and (stall >= 20).any():
+            q_des = jnp.where(
+                jnp.asarray(stall >= scfg.stall_clearance)[:, None],
+                q_clear, q_des)
+        if hlp == "ee_rrt_star" and ee_paths and (stall >= scfg.stall_ee_replan).any():
             # the current homotopy class is not working: re-plan the
             # workspace path from the CURRENT end effector with a fresh
             # seed (the reference's ever-growing 'keep' tree plays this
             # adaptive role)
             q_cur_np = np.asarray(q, float)
-            for w in np.nonzero((stall >= 20) & ~done)[0]:
+            for w in np.nonzero((stall >= scfg.stall_ee_replan) & ~done)[0]:
                 if w not in ee_paths:
                     continue
                 retry = ee_retries.get(w, 0) + 1
-                if retry > 10:
+                if retry > scfg.max_ee_retries:
                     continue
                 ee_retries[w] = retry
                 if _plan_ee_path(w, q_cur_np[w], seed=1000 * retry + w):
@@ -591,25 +651,25 @@ def run_batch_stepped(
                     print(f"  world {w}: EE path re-planned (retry {retry})")
         if ee_paths:
             q_des = _ee_waypoints(q, q_des)
-        if (stall >= 8).any():
+        if (stall >= scfg.stall_guidance).any():
             # stage-2 escalation: worlds stalled despite clearance sampling
             # get a host-side config-space RRT plan (RRT-connect, then RRT*,
             # then workspace EE RRT* + IK, `arm_end_effector_RRT_star_HLP.m`),
             # consumed waypoint by waypoint.  A failed attempt — or a path
-            # that is no longer making progress (stall >= 25) — is RETRIED
-            # from the CURRENT configuration with a fresh seed instead of
-            # being cached as failed forever.
+            # that is no longer making progress (stall >= stall_path_stale)
+            # — is RETRIED from the CURRENT configuration with a fresh seed
+            # instead of being cached as failed forever.
             from armour_tpu.planner.hlp import ee_rrt_star_config_waypoints
 
             q_np_cur = np.asarray(q, float)
-            for w in np.nonzero((stall >= 8) & ~done)[0]:
+            for w in np.nonzero((stall >= scfg.stall_guidance) & ~done)[0]:
                 w = int(w)
                 have_path = (rrt_paths.get(w, [None])[0] is not None
                              or w in ee_paths)
-                if have_path and stall[w] < 25:
+                if have_path and stall[w] < scfg.stall_path_stale:
                     continue  # path in hand, still being consumed
                 retry = cfg_retries.get(w, 0)
-                if retry > 8:
+                if retry > scfg.max_guidance_retries:
                     continue
                 cfg_retries[w] = retry + 1
                 # ALTERNATE guidance families across retries: config-space
@@ -649,7 +709,8 @@ def run_batch_stepped(
                 if path is None or done[w]:
                     continue
                 while (idx < len(path) - 1
-                       and np.linalg.norm(q_np_cur[w] - path[idx]) < 0.35):
+                       and np.linalg.norm(q_np_cur[w] - path[idx])
+                       < scfg.waypoint_advance_radius):
                     idx += 1
                 st[1] = idx
                 q_des_np[w] = path[idx]
@@ -698,7 +759,7 @@ def run_batch_stepped(
         d_goal = np.where(cont_np[None],
                           (d_goal + np.pi) % (2 * np.pi) - np.pi, d_goal)
         dist = np.linalg.norm(d_goal, axis=-1)
-        progressed = dist < best_dist - 2e-3
+        progressed = dist < best_dist - scfg.progress_epsilon
         best_dist = np.minimum(best_dist, dist)
         stall = np.where(progressed, 0, stall + 1) * active
         fails = np.where(feas, 0, fails + 1) * active

@@ -131,10 +131,22 @@ def run_recorded_episode(
     records = []
     goal_reached = collision = stopped = False
     fails = 0
+    stall = 0
+    best_dist = np.inf
     k_prev = jnp.zeros(nf, dtype)
+    goal_np = np.asarray(world.goal, float)
+    cont_np = np.asarray(spec.continuous_joints)
     for it in range(scfg.max_iterations):
         q0p, qd0p, qdd0p = traj_eval(traj, scfg.t_move, pcfg.duration)
         q_des = straight_line_waypoint(spec, q, jnp.asarray(world.goal, dtype))
+        if stall >= scfg.stall_clearance:
+            # same first-stage escalation as the battery drivers: sampled
+            # clearance waypoints instead of re-driving the local minimum
+            from armour_tpu.planner.hlp import clearance_waypoint
+
+            key, kw = jax.random.split(key)
+            q_des = clearance_waypoint(spec, q, jnp.asarray(world.goal, dtype),
+                                       world.obstacles, kw)
         key, ki = jax.random.split(key)
         plan = planner.plan(q0p, qd0p, qdd0p, q_des, world.obstacles, ki,
                             k_warm=k_prev)
@@ -174,6 +186,12 @@ def run_recorded_episode(
         if fails >= scfg.stop_threshold:
             stopped = True
             break
+        d_goal = np.asarray(q, float) - goal_np
+        d_goal = np.where(cont_np, (d_goal + np.pi) % (2 * np.pi) - np.pi,
+                          d_goal)
+        dist = float(np.linalg.norm(d_goal))
+        stall = 0 if dist < best_dist - scfg.progress_epsilon else stall + 1
+        best_dist = min(best_dist, dist)
 
     return EpisodeRecording(
         world=world, records=records, goal_reached=goal_reached,

@@ -194,3 +194,141 @@ def plot_world_topdown(rec: dict, spec, out_path, n_snapshots: int = 8):
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_constraint_traces(rec: dict, spec, out_path, cfg=None, dtype=None):
+    """Per-iteration constraint traces (the `post_sim_plotting.m` family
+    that replays `armour_constraints.out`): for every recorded replan,
+    rebuild the reachable sets at the recorded planning state, slice at the
+    recorded k, and trace the max collision constraint value, the worst
+    torque margin utilization (|u_nom| against limit - radius), and the
+    worst state-limit margin across iterations.  Feasible iterations must
+    sit below the acceptance thresholds — the figure makes the planner's
+    safety margins visible over a whole episode."""
+    if not HAVE_MPL or "q0p" not in rec or rec["k"].shape[0] == 0:
+        return None
+    import jax.numpy as jnp
+
+    from armour_tpu.collision.zonotope import ObstacleSet, collision_values_multi
+    from armour_tpu.config import PlannerConfig
+    from armour_tpu.planner.armour import ArmourPlanner
+
+    cfg = cfg or PlannerConfig()
+    dtype = dtype or jnp.float64
+    planner = ArmourPlanner(spec, cfg, dtype)
+    build = planner._make_build_fn()
+    zonos = jnp.asarray(rec["obstacles"], dtype)
+    mask = jnp.asarray(rec["obstacle_mask"])
+    tlim = np.asarray(spec.torque_limits)
+
+    n_it = rec["k"].shape[0]
+    col_max, tor_util, state_margin = [], [], []
+    for i in range(n_it):
+        k = jnp.asarray(np.nan_to_num(rec["k"][i]), dtype)
+        prob = build(jnp.asarray(rec["q0p"][i], dtype),
+                     jnp.asarray(rec["qd0p"][i], dtype),
+                     jnp.asarray(rec["qdd0p"][i], dtype), zonos, mask)
+        centers, _, _ = prob.links.slice_with_jac_multi(k[None])
+        g = np.asarray(collision_values_multi(prob.hp, centers))[0]
+        col_max.append(float(g.max()))
+        if prob.u is not None:
+            u_c, _, _ = prob.u.slice_with_jac_multi(k[None])
+            u_c = np.asarray(u_c)[0]                      # (T, nf)
+            t_rad = np.asarray(prob.t_rad)
+            util = np.abs(u_c) - (tlim[None] - t_rad)
+            tor_util.append(float(util.max()))
+        else:
+            tor_util.append(np.nan)
+    feas = np.asarray(rec["feasible"], bool)[:n_it]
+
+    fig, axes = plt.subplots(2, 1, figsize=(10, 7), sharex=True)
+    it = np.arange(n_it)
+    axes[0].plot(it, col_max, "-o", ms=3, lw=0.9, color="tab:blue")
+    axes[0].axhline(cfg.collision_violation_threshold, color="r", ls="--",
+                    lw=1, label="acceptance threshold")
+    axes[0].set_ylabel("max collision constraint (m)")
+    axes[0].legend(fontsize=8)
+    axes[1].plot(it, tor_util, "-o", ms=3, lw=0.9, color="tab:orange")
+    axes[1].axhline(0.0, color="r", ls="--", lw=1,
+                    label="limit - planned radius")
+    axes[1].set_ylabel("worst torque utilization (Nm)")
+    axes[1].set_xlabel("replan iteration")
+    axes[1].legend(fontsize=8)
+    for ax in axes:
+        for i in np.nonzero(~feas)[0]:
+            ax.axvspan(i - 0.5, i + 0.5, color="gray", alpha=0.25)
+    axes[0].set_title("per-iteration constraint traces at the executed k "
+                      "(gray: infeasible replans -> braking fallback)")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def plot_frs_overlay(rec: dict, spec, out_path, iterations=None, cfg=None,
+                     dtype=None):
+    """Per-iteration FRS overlay over a whole recorded episode (the
+    remaining `post_sim_plotting.m` reachable-set family): the sliced
+    forward-occupancy envelope of EVERY selected replan drawn over the
+    obstacles and the executed end-effector path, color-graded by
+    iteration — shows the swept certified volume of the episode."""
+    if not HAVE_MPL or "q0p" not in rec or rec["k"].shape[0] == 0:
+        return None
+    import jax.numpy as jnp
+
+    from armour_tpu.config import PlannerConfig
+    from armour_tpu.dynamics.pz_rnea import build_reachable_sets
+    from armour_tpu.dynamics.rnea import forward_kinematics
+    from armour_tpu.jrs.bezier import make_bezier_jrs
+    from armour_tpu.ops.pz import pack_pzs
+
+    cfg = cfg or PlannerConfig()
+    dtype = dtype or jnp.float64
+    n_it = rec["k"].shape[0]
+    if iterations is None:
+        iterations = list(range(0, n_it, max(1, n_it // 12)))
+
+    fig, ax = plt.subplots(figsize=(9, 9))
+    zon = rec["obstacles"]
+    mask = rec["obstacle_mask"]
+    for i in range(zon.shape[0]):
+        if not mask[i]:
+            continue
+        c = zon[i, 0]
+        h = np.abs(zon[i, 1:]).sum(axis=0)
+        ax.add_patch(plt.Rectangle((c[0] - h[0], c[1] - h[1]),
+                                   2 * h[0], 2 * h[1],
+                                   fill=True, alpha=0.4, color="tab:red"))
+    cmap = plt.get_cmap("viridis")
+    for n, i in enumerate(iterations):
+        k = np.nan_to_num(rec["k"][i])
+        jrs = make_bezier_jrs(
+            spec, cfg,
+            jnp.asarray(rec["q0p"][i], dtype),
+            jnp.asarray(rec["qd0p"][i], dtype),
+            jnp.asarray(rec["qdd0p"][i], dtype), dtype)
+        rs = build_reachable_sets(spec, cfg, jrs, dtype)
+        centers, _ = pack_pzs(rs.link_pz, axis=1).slice(jnp.asarray(k, dtype))
+        centers = np.asarray(centers)                      # (T, L, 3)
+        half = np.abs(np.asarray(rs.link_indep_gens)).sum(axis=-1)
+        color = cmap(n / max(len(iterations) - 1, 1))
+        T = centers.shape[0]
+        for t in range(0, T, max(1, T // 8)):
+            for L in range(centers.shape[1]):
+                c, h = centers[t, L], half[t, L]
+                ax.add_patch(plt.Rectangle(
+                    (c[0] - h[0], c[1] - h[1]), 2 * h[0], 2 * h[1],
+                    fill=False, lw=0.35, alpha=0.5, color=color))
+    Rw, pw = forward_kinematics(spec, jnp.asarray(rec["q"], dtype))
+    ee = np.asarray(pw)[:, -1]
+    ax.plot(ee[:, 0], ee[:, 1], "k-", lw=1.1, label="executed EE path")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    ax.legend()
+    ax.set_title(f"per-iteration FRS overlay ({len(iterations)} replans, "
+                 "dark -> light = episode time)")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

@@ -22,10 +22,13 @@ import time
 import numpy as np
 
 
-def _problem_set(cfg, B):
+def _problem_set(cfg, B, n_obs=8, seed=0):
     """Random planning problems with obstacles rejection-sampled to be
     clear of the arm's start volume (matching the world-suite generator) —
-    otherwise many problems are trivially infeasible at t=0."""
+    otherwise many problems are trivially infeasible at t=0.
+
+    ``n_obs``: LIVE obstacles per world (8 = the bench default; 40 = the
+    reference's worst-case capacity envelope, Parameters.h:26-29)."""
     import jax.numpy as jnp
 
     from armour_tpu.robots.kinova import kinova_gen3_spec
@@ -35,13 +38,13 @@ def _problem_set(cfg, B):
     import jax
 
     spec = kinova_gen3_spec()
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     q0 = np.tile([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0], (B, 1))
     q0 += rng.uniform(-0.3, 0.3, (B, 7))
     qd0 = rng.uniform(-0.2, 0.2, (B, 7))
     qdd0 = rng.uniform(-0.3, 0.3, (B, 7))
     q_des = q0 + rng.uniform(-1.0, 1.0, (B, 7)) * cfg.k_range
-    n_obs, n_cand = 8, 64
+    n_cand = max(64, 4 * n_obs)
     # all (world, candidate) collision screens in ONE device call — the
     # per-candidate loop used to make thousands of tiny tunnel round trips
     # and dominated bench wall time
@@ -130,30 +133,99 @@ def _emit(plans_per_s, extra):
     print(json.dumps(out))
 
 
-def run_batch_mode():
-    jax, jnp, cfg, planner = _setup()
-    B = int(os.environ.get("BENCH_BATCH", "128"))
-    q0, qd0, qdd0, q_des, zonos, masks = _problem_set(cfg, B)
-    args = (
+def _args_for(jax, jnp, cfg, B, n_obs, seed=0):
+    q0, qd0, qdd0, q_des, zonos, masks = _problem_set(cfg, B, n_obs, seed)
+    return (
         jnp.asarray(q0, jnp.float32), jnp.asarray(qd0, jnp.float32),
         jnp.asarray(qdd0, jnp.float32), jnp.asarray(q_des, jnp.float32),
         jnp.asarray(zonos, jnp.float32), jnp.asarray(masks),
         jax.random.split(jax.random.PRNGKey(0), B),
     )
-    res = jax.block_until_ready(planner.plan_batch(*args))
+
+
+def _time_batch(jax, planner, args, reps):
+    res = jax.block_until_ready(planner.plan_batch(*args))  # compile + warm
     n_feasible = int(np.sum(np.array(res.feasible)))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for _ in range(reps):
         res = jax.block_until_ready(planner.plan_batch(*args))
     dt = (time.perf_counter() - t0) / reps
+    return dt, n_feasible
+
+
+def run_batch_mode():
+    t_start = time.time()
+    jax, jnp, cfg, planner = _setup()
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    args = _args_for(jax, jnp, cfg, B, n_obs=8)
+    dt, n_feasible = _time_batch(jax, planner, args, reps)
     plans_per_s = B / dt / jax.device_count()
-    _emit(plans_per_s, {
+    extra = {
         "mode": "batch", "batch": B,
         "feasible_fraction": round(n_feasible / B, 3),
         "seconds_per_batch": round(dt, 4),
         "constraint_eval_gflops": _constraint_gflops(cfg, plans_per_s),
-    })
+    }
+
+    if os.environ.get("BENCH_EXTRAS", "0") == "1":
+        # (a) single-plan WARM latency vs the reference's 0.5 s real-time
+        # budget (armour_main.cu:228-230): the fused build+solve program at
+        # batch 1 — what one replan costs a real robot
+        try:
+            from armour_tpu.collision.zonotope import ObstacleSet
+
+            q0_np = np.asarray(args[0])
+            obs1 = ObstacleSet(args[4][0], args[5][0])
+            key = jax.random.PRNGKey(1)
+            jax.block_until_ready(
+                planner.plan(q0_np[0], np.zeros(7), np.zeros(7),
+                             q0_np[0] + 0.05, obs1, key))  # compile
+            lats = []
+            for i in range(10):
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    planner.plan(q0_np[i % B], np.zeros(7), np.zeros(7),
+                                 q0_np[i % B] + 0.05, obs1, key))
+                lats.append(time.perf_counter() - t0)
+            extra["latency_batch1_ms"] = round(float(np.median(lats)) * 1e3, 1)
+            extra["latency_budget_ms"] = 500.0
+        except Exception as e:  # pragma: no cover - keep the headline alive
+            extra["latency_error"] = str(e)[:200]
+        # (b) the 40-obstacle worst-case capacity point (Parameters.h:26-29)
+        try:
+            if time.time() - t_start < 600:
+                args40 = _args_for(jax, jnp, cfg, B, n_obs=40, seed=7)
+                dt40, nf40 = _time_batch(jax, planner, args40, reps)
+                extra["plans_per_s_40obs"] = round(B / dt40 / jax.device_count(), 1)
+                extra["feasible_fraction_40obs"] = round(nf40 / B, 3)
+        except Exception as e:  # pragma: no cover
+            extra["obs40_error"] = str(e)[:200]
+
+    _emit(plans_per_s, extra)
+
+
+def run_sweep_mode():
+    """Batch-saturation sweep 32 -> 512 at the 8-obstacle point; writes
+    results/r4_batch_sweep.json (run manually / committed as an artifact,
+    not part of the driver's single-line protocol)."""
+    jax, jnp, cfg, planner = _setup()
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    rows = []
+    for B in (32, 64, 128, 256, 512):
+        args = _args_for(jax, jnp, cfg, B, n_obs=8)
+        dt, n_feasible = _time_batch(jax, planner, args, reps)
+        row = {"batch": B,
+               "plans_per_s_per_chip": round(B / dt / jax.device_count(), 1),
+               "seconds_per_batch": round(dt, 4),
+               "feasible_fraction": round(n_feasible / B, 3)}
+        rows.append(row)
+        print(row, file=sys.stderr)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results", "r4_batch_sweep.json")
+    with open(out, "w") as f:
+        json.dump({"n_obs": 8, "reps": reps, "rows": rows}, f, indent=2)
+    print(json.dumps({"metric": "batch_sweep", "rows": rows}))
 
 
 def run_single_mode():
@@ -191,14 +263,20 @@ def main():
     if mode == "single":
         run_single_mode()
         return
+    if mode == "sweep":
+        run_sweep_mode()
+        return
 
     # orchestrate: each attempt runs in a subprocess with a wall-clock
     # budget (a cold-cache compile through the remote TPU compile service
     # can exceed 420 s; with the persistent cache warm — the repo commits
     # one — each comes up in well under 60 s).  Progressively smaller
-    # programs so SOME honest number always lands: batch 128 -> batch 32
+    # programs so SOME honest number always lands: batch 128 with the
+    # latency/40-obstacle extras -> plain batch 128 -> batch 32
     # (quarter-size solve program) -> sequential single-plan.
     attempts = [
+        ("batch", {"BENCH_BATCH": "128", "BENCH_EXTRAS": "1"},
+         int(os.environ.get("BENCH_TIMEOUT", "900"))),
         ("batch", {"BENCH_BATCH": "128"}, int(os.environ.get("BENCH_TIMEOUT", "900"))),
         ("batch", {"BENCH_BATCH": "32"}, int(os.environ.get("BENCH_TIMEOUT", "600"))),
         ("single", {}, int(os.environ.get("BENCH_TIMEOUT", "420"))),

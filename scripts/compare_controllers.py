@@ -4,10 +4,11 @@
 nominal/PID ablation that motivates the robust law).
 
 Sweeps the plant's true-parameter uncertainty over {0, 3, 5, 10, 25, 50}%
-and reports max/mean tracking error for four low-level controllers —
+and reports max/mean tracking error for five low-level controllers —
 ARMOUR robust CBF, ALTHOFF PI-gain robust, nominal passivity
-(`uarmtd_nominal_passivity_LLC.m`), and PID+feedforward
-(`robot_arm_PID_LLC.m`) — batched over random reference trajectories.
+(`uarmtd_nominal_passivity_LLC.m`), PID+feedforward
+(`robot_arm_PID_LLC.m`), and iLQR/TVLQR (`robot_arm_iLQR_LLC.m` role,
+control/ilqr.py) — batched over random reference trajectories.
 The expected shape of the table: the robust controller stays inside its
 ultimate bound at every uncertainty level it is certified for, while the
 nominal/PID baselines drift out as uncertainty grows.
@@ -27,7 +28,7 @@ def main():
     ap.add_argument("--uncertainty", type=float, nargs="*",
                     default=[0.0, 0.03, 0.05, 0.10, 0.25, 0.50])
     ap.add_argument("--controllers", nargs="*",
-                    default=["robust", "althoff", "nominal", "pid"])
+                    default=["robust", "althoff", "nominal", "pid", "ilqr"])
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--out", default="", help="write JSON table here")
     args = ap.parse_args()

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Recorded-episode figure factory driver (the `post_sim_plotting.m` role):
+record one episode (hard scenario by default), save the .npz checkpoint,
+and emit the full figure set — tracking error, torques vs planned radii,
+per-iteration constraint traces, FRS snapshot, per-iteration FRS overlay,
+top-down world view.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenario", type=int, default=3,
+                    help="hard scenario index 1-7 (get_kinova_scenario_info.m)")
+    ap.add_argument("--world-csv", default="",
+                    help="record a CSV world instead of a hard scenario")
+    ap.add_argument("--max-iterations", type=int, default=150)
+    ap.add_argument("--time-steps", type=int, default=128)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--out-dir", default=os.path.join(
+        os.path.dirname(__file__), "..", "assets", "figures"))
+    ap.add_argument("--rec", default="", help="reuse an existing .npz recording")
+    args = ap.parse_args()
+
+    import jax
+
+    from armour_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if args.f64 else jnp.float32
+
+    from armour_tpu.config import PlannerConfig, SimConfig
+    from armour_tpu.robots.kinova import kinova_gen3_spec
+    from armour_tpu.sim.recording import load_recording, run_recorded_episode
+    from armour_tpu.sim.scenarios import hard_scenario, load_world_csv
+    from armour_tpu.utils.plotting import (
+        plot_constraint_traces,
+        plot_frs_overlay,
+        plot_frs_topdown,
+        plot_torques,
+        plot_tracking,
+        plot_world_topdown,
+    )
+
+    spec = kinova_gen3_spec()
+    pcfg = PlannerConfig(num_time_steps=args.time_steps)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.rec:
+        rec = load_recording(args.rec)
+        tag = os.path.splitext(os.path.basename(args.rec))[0]
+    else:
+        scfg = SimConfig(max_iterations=args.max_iterations)
+        if args.world_csv:
+            world = load_world_csv(args.world_csv, pcfg.max_obstacles, dtype)
+            tag = os.path.splitext(os.path.basename(args.world_csv))[0]
+        else:
+            world = hard_scenario(args.scenario, pcfg.max_obstacles, dtype)
+            tag = f"scenario{args.scenario}"
+        recording = run_recorded_episode(spec, pcfg, scfg, world, dtype=dtype,
+                                         verbose=True)
+        print(f"episode: goal={recording.goal_reached} "
+              f"collision={recording.collision} stopped={recording.stopped} "
+              f"iters={len(recording.records)}")
+        npz = os.path.join(args.out_dir, f"{tag}_recording.npz")
+        recording.save(npz)
+        print(f"saved {npz}")
+        rec = load_recording(npz)
+
+    figs = [
+        (plot_tracking, f"{tag}_tracking.png", {}),
+        (plot_torques, f"{tag}_torques.png", {}),
+        (plot_world_topdown, f"{tag}_world.png", {}),
+        (plot_frs_topdown, f"{tag}_frs.png", {"cfg": pcfg, "dtype": dtype}),
+        (plot_frs_overlay, f"{tag}_frs_overlay.png",
+         {"cfg": pcfg, "dtype": dtype}),
+        (plot_constraint_traces, f"{tag}_constraints.png",
+         {"cfg": pcfg, "dtype": dtype}),
+    ]
+    for fn, name, kw in figs:
+        out = fn(rec, spec, os.path.join(args.out_dir, name), **kw)
+        print(f"figure: {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,7 @@ def main():
     worlds = [load_world_csv(f, pcfg.max_obstacles, dtype) for f in files]
     print(f"loaded {len(worlds)} worlds from {args.worlds_dir}")
 
-    runner = EpisodeRunner(spec, pcfg, scfg, dtype)
+    runner = EpisodeRunner(spec, pcfg, scfg, dtype, traj_type=args.traj_type)
     starts, goals, zonos, masks = stack_worlds(worlds, dtype)
     keys = jax.random.split(jax.random.PRNGKey(0), len(worlds))
 
@@ -99,8 +99,23 @@ def main():
 
     merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
     d = summarize_episodes(merged)
+    d["traj_type"] = args.traj_type
+    d["max_iterations"] = args.max_iterations
     d["wall_seconds"] = round(wall, 2)
     d["episodes_per_minute"] = round(len(worlds) / wall * 60, 2)
+    # per-world rows so individual outcomes (e.g. safe stops) are
+    # diagnosable from the artifact alone
+    flags = ("goal_reached", "collision", "torque_violation",
+             "joint_limit_violation", "ultimate_bound_violation", "stopped")
+    d["worlds"] = [
+        dict(
+            world=os.path.basename(files[i]),
+            iterations=int(np.asarray(merged.iterations)[i]),
+            n_feasible_plans=int(np.asarray(merged.n_feasible_plans)[i]),
+            **{k: bool(np.asarray(getattr(merged, k))[i]) for k in flags},
+        )
+        for i in range(len(worlds))
+    ]
     print(format_summary(d))
     print(f"wall: {wall:.1f}s ({d['episodes_per_minute']} episodes/min)")
     if args.out:

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""ARMOUR-vs-ARMTD head-to-head episode battery.
+
+The reference dedicates a 4,160-LoC fork to exactly this comparison
+(`kinova_planner_realtime_armtd_comparison/armtd_main.cu`): run the SAME
+world suite once with the ARMOUR planner (Bezier trajectories, torque +
+tracking-error-aware constraints) and once with original ARMTD
+('orig' constant-acceleration trajectories, collision + state limits
+only, no tracking-error sets) — both CLOSED LOOP, with the agent
+realizing the matching trajectory family (sim/agent.py traj_eval).
+
+Expected shape of the result (the ARMOUR paper's claim): equal safety
+(zero collisions — both are provably-safe planners), ARMTD with lower
+goal-reach rate (its constant-acceleration parameterization and missing
+robust-tracking padding make it more conservative / less expressive) and
+possible torque violations (it does not constrain inputs).
+
+Here the two runs are just `--traj-type {bernstein,orig}` over the same
+engine — the reference's fork collapses into a flag.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds-dir",
+                    default=os.path.join(HERE, "..", "assets", "worlds"))
+    ap.add_argument("--max-worlds", type=int, default=100)
+    ap.add_argument("--max-iterations", type=int, default=500)
+    ap.add_argument("--hlp", default="straight")
+    ap.add_argument("--out", default=os.path.join(
+        HERE, "..", "results", "r4_armtd_vs_armour.json"))
+    args = ap.parse_args()
+
+    results = {}
+    for name, traj in (("armour", "bernstein"), ("armtd", "orig")):
+        tmp = args.out + f".{name}.tmp"
+        cmd = [
+            sys.executable, os.path.join(HERE, "run_100_worlds.py"),
+            "--worlds-dir", args.worlds_dir,
+            "--max-worlds", str(args.max_worlds),
+            "--max-iterations", str(args.max_iterations),
+            "--traj-type", traj,
+            "--hlp", args.hlp,
+            "--out", tmp,
+        ]
+        print(f"=== {name} ({traj}) ===", flush=True)
+        subprocess.run(cmd, check=True)
+        with open(tmp) as f:
+            results[name] = json.load(f)
+        os.remove(tmp)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    for name in results:
+        r = results[name]
+        print(f"{name:>7}: success {r['success']}/{r['n_worlds']}, "
+              f"collisions {r['collision']}, torque {r['torque_violation']}, "
+              f"stops {r['stopped_safely']}")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,101 @@ def test_armtd_blocked_infeasible():
     assert not bool(res.feasible)
 
 
+def test_traj_eval_honors_traj_type(rng):
+    """The agent's realized trajectory must match the family the planner
+    certified (round-3 flagship finding: traj_eval always realized a
+    Bezier, so a certified 'orig' plan executed an uncertified
+    trajectory).  'orig' realization == armtd_ref with the offset/brake
+    continuation semantics."""
+    from armour_tpu.jrs.bezier import bezier_ref
+    from armour_tpu.sim.agent import TrajParams, traj_eval
+
+    q0 = jnp.asarray(rng.uniform(-1, 1, 7))
+    qd0 = jnp.asarray(rng.uniform(-0.5, 0.5, 7))
+    g_k = armtd_k_range(qd0)
+    k = jnp.asarray(rng.uniform(-1, 1, 7))
+    p = TrajParams(q0=q0, qd0=qd0, qdd0=jnp.zeros(7), k_actual=g_k * k,
+                   t_offset=jnp.asarray(0.2))
+    for t in (0.0, 0.3, 0.45, 0.9):
+        got = traj_eval(p, t, 1.0, "orig", 0.5)
+        want = armtd_ref(q0, qd0, g_k * k, t + 0.2, 0.5, 1.0)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-12)
+        # and the default stays the Bezier family
+        got_b = traj_eval(p, t, 1.0)
+        want_b = bezier_ref(q0, qd0, jnp.zeros(7), g_k * k,
+                            jnp.clip(t + 0.2, 0.0, 1.0), 1.0)
+        for a, b in zip(got_b, want_b):
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-12)
+
+
+def test_orig_certified_plan_realization_inside_frs(rng):
+    """Guard: a certified 'orig' plan's REALIZED trajectory (what the agent
+    now executes via traj_eval(traj_type='orig')) stays inside the FRS that
+    certified it — sampled cos/sin of the realized reference lie in the
+    k-sliced JRS sets of the SAME plan.  This is exactly the property the
+    round-3 closed loop violated (it realized a Bezier against an ARMTD
+    FRS)."""
+    from armour_tpu.sim.agent import TrajParams, traj_eval
+
+    planner = ArmourPlanner(SPEC, CFG, traj_type="orig")
+    q0 = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    qd0 = 0.25 * np.ones(7)
+    world = ObstacleSet.from_boxes(
+        np.array([[0.7, 0.0, 0.4]]), np.array([[0.2, 0.2, 0.2]]),
+        CFG.max_obstacles)
+    g_k = np.array(armtd_k_range(jnp.asarray(qd0)))
+    q_des = np.array(armtd_ref(q0, qd0, 0.5 * g_k, 0.5, 0.5, 1.0)[0])
+    res = planner.plan(q0, qd0, np.zeros(7), q_des, world)
+    assert bool(res.feasible)
+    k = jnp.asarray(np.array(res.k))
+
+    out = {kk: np.array(v) for kk, v in
+           _probe(jnp.asarray(q0), jnp.asarray(qd0), k).items()}
+    traj = TrajParams(q0=jnp.asarray(q0), qd0=jnp.asarray(qd0),
+                      qdd0=jnp.zeros(7), k_actual=jnp.asarray(out["g_k"]) * k,
+                      t_offset=jnp.zeros(()))
+    T = CFG.num_time_steps
+    for t_idx in range(0, T, 3):
+        for t in rng.uniform(t_idx / T, (t_idx + 1) / T, 5):
+            q, _, _ = traj_eval(traj, float(t), CFG.duration, "orig",
+                                CFG.t_plan)
+            q = np.array(q)
+            assert np.all(np.abs(np.cos(q) - out["cos_c"][t_idx])
+                          <= out["cos_r"][t_idx] + 1e-10)
+            assert np.all(np.abs(np.sin(q) - out["sin_c"][t_idx])
+                          <= out["sin_r"][t_idx] + 1e-10)
+
+
+@pytest.mark.slow
+def test_orig_closed_loop_episode(rng):
+    """End-to-end 'orig' episode: the scan runner must scale k by the
+    velocity-dependent g_k and the plant must track the peak-and-brake
+    trajectory (round-3 scan path scaled by the constant pi/48)."""
+    from armour_tpu.config import SimConfig
+    from armour_tpu.sim.harness import EpisodeRunner
+    from armour_tpu.sim.world import World
+
+    pcfg = PlannerConfig(num_time_steps=8, max_obstacles=4,
+                         nlp_num_starts=2, nlp_outer_iters=6,
+                         nlp_inner_iters=6)
+    scfg = SimConfig(t_move=0.5, plant_dt=2e-3, check_dt=0.01,
+                     max_iterations=12, goal_radius=np.pi / 30)
+    runner = EpisodeRunner(SPEC, pcfg, scfg, traj_type="orig")
+    start = jnp.asarray(
+        [0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    # pi/24 is the minimum ARMTD g_k; each from-rest plan travels
+    # ~0.25*g_k, and velocity carries across replans
+    goal = start + 0.15
+    obstacles = ObstacleSet.from_boxes(
+        np.array([[5.0, 5.0, 5.0]]), np.array([[0.1, 0.1, 0.1]]),
+        pcfg.max_obstacles)
+    s = runner.run(World(start=start, goal=goal, obstacles=obstacles))
+    assert bool(s.goal_reached), f"summary: {s}"
+    assert not bool(s.collision)
+    assert not bool(s.joint_limit_violation)
+
+
 def test_offline_jrs_parity_containment():
     """Cross-validation vs the reference's OFFLINE ARMTD sets
     (`offline_jrs/*.mat`): ground-truth trajectory cos/sin sampled inside

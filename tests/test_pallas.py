@@ -182,3 +182,50 @@ def test_pallas_multi_kernel_tie_break(rng):
     np.testing.assert_allclose(
         np.asarray(jnp.transpose(J_p, (0, 4, 2, 3, 1))) * unique,
         np.asarray(J_x) * unique, atol=2e-6)
+
+
+def test_bf16_bank_sound_and_close(rng):
+    """bfloat16 bank storage (collision_bank_bf16): quantized normals with
+    f32 offsets computed FOR them must (a) never declare a point inside the
+    buffered set separated — soundness holds by construction for any
+    normal paired with its own support value — and (b) stay within the
+    quantization scale of the f32 bank's values."""
+    from armour_tpu.collision.zonotope import (
+        buffer_obstacles,
+        collision_constraint_values,
+    )
+
+    T, L = 6, 4
+    gens = jnp.asarray(rng.uniform(-0.06, 0.06, (T, L, 3, 6)), jnp.float32)
+    obs = ObstacleSet.from_boxes(
+        [[0.4, 0.2, 0.3], [-0.2, -0.4, 0.5]],
+        [[0.25, 0.15, 0.2], [0.3, 0.2, 0.25]],
+        4, jnp.float32)
+    hp32 = buffer_obstacles(gens, obs, slack=0.0, store_bf16=False)
+    hp16 = buffer_obstacles(gens, obs, slack=0.0, store_bf16=True)
+    assert hp16.A.dtype == jnp.bfloat16
+
+    z = np.asarray(obs.zonos, float)
+    g_np = np.asarray(gens, float)
+    for trial in range(40):
+        o = rng.integers(0, 2)
+        t = rng.integers(0, T)
+        # a point INSIDE the buffered set: obstacle center + sum of its 3
+        # generators and a random link's 6 buffered generators, |coef| <= 1
+        coef = rng.uniform(-1, 1, 9)
+        pt = (z[o, 0] + coef[:3] @ z[o, 1:]
+              + g_np[t].transpose(0, 2, 1).reshape(-1, 3)[:0].sum(0))
+        link = rng.integers(0, L)
+        pt = pt + coef[3:] @ g_np[t, link].T          # (6,) @ (6,3)
+        centers = jnp.asarray(
+            np.broadcast_to(pt, (T, L, 3)).copy(), jnp.float32)
+        for hp in (hp32, hp16):
+            g = np.asarray(collision_constraint_values(hp, centers))
+            # inside point => no separating hyperplane => constraint
+            # violated (g >= 0) at this (t, link, o) slot
+            assert g[t, link, o] >= -1e-6, (trial, g[t, link, o])
+    # closeness on random centers
+    centers = jnp.asarray(rng.uniform(-1, 1, (T, L, 3)), jnp.float32)
+    g32 = np.asarray(collision_constraint_values(hp32, centers))
+    g16 = np.asarray(collision_constraint_values(hp16, centers))
+    assert np.max(np.abs(g32 - g16)) < 2e-2

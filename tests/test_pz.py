@@ -253,3 +253,20 @@ def test_batched_matches_unbatched(rng):
         oi = pz_matvec(ai, bi)
         np.testing.assert_allclose(np.array(out.c[i]), np.array(oi.c))
         np.testing.assert_allclose(np.array(out.r[i]), np.array(oi.r))
+
+
+def test_spd_solve_small_matches_linalg(rng):
+    """ops/linalg.py unrolled Cholesky vs jnp.linalg.solve on random SPD
+    batches (the NLP Gauss-Newton and plant mass-matrix solve path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from armour_tpu.ops.linalg import spd_solve_small
+
+    for n in (3, 7):
+        A = rng.normal(size=(5, n, n))
+        H = A @ np.swapaxes(A, -1, -2) + 0.1 * np.eye(n)
+        g = rng.normal(size=(5, n))
+        x = np.asarray(spd_solve_small(jnp.asarray(H), jnp.asarray(g)))
+        np.testing.assert_allclose(x, np.linalg.solve(H, g[..., None])[..., 0],
+                                   rtol=1e-9, atol=1e-9)

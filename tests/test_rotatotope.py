@@ -42,16 +42,39 @@ def _si_bank(q0, qd0, pairs, cfg):
 
 
 def test_pair_selection():
-    """Auto pairs: non-adjacent only; kinova home-separated set is the full
-    j >= i + 2 family; a 2-link arm has none (matching the 2D_2link planner,
-    which carries no self-intersection block); 6-link planar has 10."""
-    pairs = self_intersection_pairs(SPEC)
+    """Auto pairs: non-adjacent only, pruning warned about, and the
+    selected/pruned split derived from the home-pose geometry itself
+    (no pinned counts — recalibrating link zonotopes or the margin must
+    not break this test without a behavioral bug)."""
+    import warnings as _w
+
+    from armour_tpu.dynamics.rnea import forward_kinematics
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        pairs = self_intersection_pairs(SPEC)
     assert pairs and all(j >= i + 2 for i, j in pairs)
-    # 15 non-adjacent pairs minus the wrist cluster (3,5)/(4,6), whose home
-    # clearance (~0.06-0.07 m) is below the FRS fattening scale
-    assert len(pairs) == 13
-    assert (3, 5) not in pairs and (4, 6) not in pairs
+    # recompute the geometric criterion independently and check the split
+    Rw, pw = forward_kinematics(SPEC, jnp.zeros(SPEC.n_factors, F64))
+    Rw, pw = np.asarray(Rw, float), np.asarray(pw, float)
+    ctr = pw + np.einsum("lij,lj->li", Rw, np.asarray(SPEC.link_zono_center))
+    rad = np.einsum("lij,lj->li", np.abs(Rw), np.asarray(SPEC.link_zono_gen))
+    expected, expected_pruned = [], []
+    for i in range(SPEC.n_joints):
+        for j in range(i + 2, SPEC.n_joints):
+            sep = (np.abs(ctr[i] - ctr[j]) - (rad[i] + rad[j])).max()
+            (expected if sep > 0.1 else expected_pruned).append((i, j))
+    assert pairs == expected
+    # pruned close pairs must be surfaced to the caller (advisor: silently
+    # dropping the CLOSEST pairs removes the protection the module exists
+    # to provide)
+    if expected_pruned:
+        msgs = [str(w.message) for w in caught]
+        assert any("PRUNED" in m for m in msgs), msgs
+        for p in expected_pruned:
+            assert any(str(p) in m for m in msgs)
     assert self_intersection_pairs(planar_arm_spec(2)) == []
+    # straight planar 6-link chain: every non-adjacent pair is separated
     assert len(self_intersection_pairs(planar_arm_spec(6))) == 10
 
 
