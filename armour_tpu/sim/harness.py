@@ -45,6 +45,14 @@ class EpisodeSummary(NamedTuple):
     stopped: jnp.ndarray           # stop_threshold consecutive infeasible plans
     iterations: jnp.ndarray
     n_feasible_plans: jnp.ndarray
+    # worst overshoot MAGNITUDES seen over the whole episode (<= 0 means the
+    # margin was never violated) — the analog of the reference's exact
+    # constraint-value diagnostics (`NLPclass.cu:444-537` prints, 10 ms
+    # post-hoc checks `uarmtd_agent.m:592-664`).  Filled by the stepped
+    # driver; None on the scan path (flags only).
+    jl_overshoot: jnp.ndarray | None = None    # rad / rad/s beyond pos/vel limits
+    ub_overshoot: jnp.ndarray | None = None    # beyond the tracking ultimate bound
+    torque_overshoot: jnp.ndarray | None = None  # N*m beyond torque limits
 
     @property
     def success(self):
@@ -392,13 +400,26 @@ def run_batch_stepped(
                                      noise_key=nk1, traj_type=traj_type)
             obs = ObstacleSet(z1, m1)
             col = jnp.any(arm_collision_check(spec, log.q, obs))
-            tor = jnp.any(jnp.abs(log.u) > tlim[None, :] + 1e-6)
-            jl = jnp.any((log.q < pos_lb[None, :]) | (log.q > pos_ub[None, :])) | jnp.any(
-                jnp.abs(log.qd) > spd[None, :] + 1e-6
+            # overshoot magnitudes (<= 0 when inside the margin): the flag
+            # checks below stay identical; the magnitudes quantify HOW far
+            # a violating episode left its envelope (e.g. ARMTD comparison
+            # mode, whose constraints carry no tracking-error padding, is
+            # expected to overshoot by tracking-error-sized amounts)
+            tor_over = jnp.max(jnp.abs(log.u) - tlim[None, :])
+            jl_over = jnp.maximum(
+                jnp.max(jnp.maximum(log.q - pos_ub[None, :],
+                                    pos_lb[None, :] - log.q)),
+                jnp.max(jnp.abs(log.qd) - spd[None, :]),
             )
-            ubv = jnp.any(jnp.abs(_wrap(log.q - log.q_ref)) > ub_pos + 1e-6) | jnp.any(
-                jnp.abs(log.qd - log.qd_ref) > ub_vel + 1e-6
+            ub_over = jnp.maximum(
+                jnp.max(jnp.abs(_wrap(log.q - log.q_ref))) - ub_pos,
+                jnp.max(jnp.abs(log.qd - log.qd_ref)) - ub_vel,
             )
+            tor = tor_over > 1e-6
+            jl = jnp.any(
+                (log.q < pos_lb[None, :]) | (log.q > pos_ub[None, :])
+            ) | (jnp.max(jnp.abs(log.qd) - spd[None, :]) > 1e-6)
+            ubv = ub_over > 1e-6
             if ee_goal:
                 # `end_effector_location` goal type
                 # (kinova_world_static.m:53-110): the goal CONFIG g1 guides
@@ -410,7 +431,8 @@ def run_batch_stepped(
                                         scfg.goal_radius)
             else:
                 reached = goal_check(spec, q_n, g1, scfg.goal_radius)
-            return q_n, qd_n, col, tor, jl, ubv, reached, log.q
+            return (q_n, qd_n, col, tor, jl, ubv, reached, log.q,
+                    jl_over, ub_over, tor_over)
 
         return jax.vmap(one)(q, qd, traj, tp, goal, zonos_b, masks_b, noise_keys)
 
@@ -614,6 +636,7 @@ def run_batch_stepped(
              "joint_limit_violation", "ultimate_bound_violation", "stopped")}
     iters = np.zeros(B, np.int32)
     n_feas = np.zeros(B, np.int32)
+    overshoot = {k: np.full(B, -np.inf) for k in ("jl", "ub", "tor")}
 
     for it in range(scfg.max_iterations):
         if done.all():
@@ -737,11 +760,16 @@ def run_batch_stepped(
         # .measurement_noise_std was silently dead here before)
         split2 = jax.vmap(lambda k: jax.random.split(k))(loop_keys)
         loop_keys, noise_keys = split2[:, 0], split2[:, 1]
-        q, qd, col, tor, jl, ubv, reached, log_q = roll_and_check(
+        (q, qd, col, tor, jl, ubv, reached, log_q,
+         jl_over, ub_over, tor_over) = roll_and_check(
             q, qd, traj, tp, jnp.asarray(goals, dtype), zonos, masks, noise_keys
         )
 
         active = ~done
+        for name, arr in (("jl", jl_over), ("ub", ub_over), ("tor", tor_over)):
+            overshoot[name] = np.where(
+                active, np.maximum(overshoot[name], np.asarray(arr, float)),
+                overshoot[name])
         col = np.asarray(col)
         if mesh_oracle is not None:
             col = _mesh_refine(np.array(col), active, log_q)
@@ -781,4 +809,7 @@ def run_batch_stepped(
         stopped=jnp.asarray(summ["stopped"]),
         iterations=jnp.asarray(iters),
         n_feasible_plans=jnp.asarray(n_feas),
+        jl_overshoot=jnp.asarray(overshoot["jl"]),
+        ub_overshoot=jnp.asarray(overshoot["ub"]),
+        torque_overshoot=jnp.asarray(overshoot["tor"]),
     )

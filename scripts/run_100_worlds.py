@@ -107,12 +107,17 @@ def main():
     # diagnosable from the artifact alone
     flags = ("goal_reached", "collision", "torque_violation",
              "joint_limit_violation", "ultimate_bound_violation", "stopped")
+    # worst overshoot magnitudes (stepped driver only; <= 0 = never violated)
+    margins = {k: np.asarray(getattr(merged, k))
+               for k in ("jl_overshoot", "ub_overshoot", "torque_overshoot")
+               if getattr(merged, k) is not None}
     d["worlds"] = [
         dict(
             world=os.path.basename(files[i]),
             iterations=int(np.asarray(merged.iterations)[i]),
             n_feasible_plans=int(np.asarray(merged.n_feasible_plans)[i]),
             **{k: bool(np.asarray(getattr(merged, k))[i]) for k in flags},
+            **{k: round(float(v[i]), 6) for k, v in margins.items()},
         )
         for i in range(len(worlds))
     ]
