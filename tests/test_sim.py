@@ -362,3 +362,46 @@ def test_run_batch_stepped_rrt_connect_hlp():
     )
     assert bool(np.asarray(s.goal_reached)[0]), s
     assert not bool(np.asarray(s.collision)[0])
+
+
+@pytest.mark.slow
+def test_scan_stepped_parity_cluttered_world():
+    """Scan-path EpisodeRunner and the stepped battery driver must agree on
+    a CLUTTERED world, not just open space: same goal/collision/violation
+    flags around a live obstacle the planner has to steer past, and the
+    stepped driver's recorded margins must confirm every envelope held
+    (overshoot <= 0)."""
+    from armour_tpu.sim.harness import run_batch_stepped
+    from armour_tpu.sim.world import World
+
+    pcfg = PlannerConfig(num_time_steps=8, max_obstacles=4,
+                         nlp_num_starts=2, nlp_outer_iters=6, nlp_inner_iters=6)
+    scfg = SimConfig(t_move=0.5, plant_dt=2e-3, check_dt=0.01,
+                     max_iterations=25, goal_radius=np.pi / 30)
+    runner = EpisodeRunner(SPEC, pcfg, scfg)
+    start = jnp.asarray([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    goal = start + 4.0 * pcfg.k_range
+    # the same mid-route box the rrt_connect test steers around
+    obstacles = ObstacleSet.from_boxes(
+        np.array([[0.45, 0.35, 0.55]]), np.array([[0.12, 0.12, 0.12]]),
+        pcfg.max_obstacles)
+
+    s_scan = runner.run(World(start=start, goal=goal, obstacles=obstacles))
+    s_step = run_batch_stepped(
+        runner,
+        start[None],
+        goal[None],
+        obstacles.zonos[None],
+        obstacles.mask[None],
+        jax.random.split(jax.random.PRNGKey(0), 1),
+        collision_oracle="box",  # scan path is box-only: compare like for like
+    )
+    for flag in ("goal_reached", "collision", "torque_violation",
+                 "joint_limit_violation", "ultimate_bound_violation"):
+        a = bool(np.asarray(getattr(s_scan, flag)))
+        b = bool(np.asarray(getattr(s_step, flag))[0])
+        assert a == b, f"{flag}: scan={a} stepped={b}"
+    assert bool(np.asarray(s_step.goal_reached)[0])
+    assert float(np.asarray(s_step.jl_overshoot)[0]) <= 0.0
+    assert float(np.asarray(s_step.ub_overshoot)[0]) <= 0.0
+    assert float(np.asarray(s_step.torque_overshoot)[0]) <= 0.0
