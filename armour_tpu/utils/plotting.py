@@ -332,3 +332,47 @@ def plot_frs_overlay(rec: dict, spec, out_path, iterations=None, cfg=None,
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_joint_limits(rec: dict, spec, out_path):
+    """Per-joint position & velocity traces against the hard limits
+    (`post_sim_plotting.m` state-limit family; the 10 ms post-hoc
+    joint_limit_check of `uarmtd_agent.m:622-664` visualized).
+
+    Continuous joints (no position limit) show the position trace without
+    limit lines; every joint shows the symmetric speed limit band.
+    """
+    if not HAVE_MPL:
+        return None
+    t = rec["t"]
+    q, qd = rec["q"], rec["qd"]
+    nf = q.shape[1]
+    lb = np.asarray(spec.pos_limits_lb, float)
+    ub = np.asarray(spec.pos_limits_ub, float)
+    spd = np.asarray(spec.speed_limits, float)
+    fig, axes = plt.subplots(2, nf, figsize=(3 * nf, 6), sharex=True)
+    for j in range(nf):
+        ax = axes[0, j]
+        ax.plot(t, q[:, j], lw=0.8)
+        # continuous joints carry a large sentinel instead of a real
+        # position limit (KinovaWithoutGripperInfo.h leaves them
+        # unbounded) — drawing it would flatten the trace's y-scale
+        if np.isfinite(lb[j]) and abs(lb[j]) < 50.0:
+            ax.axhline(lb[j], color="r", ls="--", lw=1)
+        if np.isfinite(ub[j]) and abs(ub[j]) < 50.0:
+            ax.axhline(ub[j], color="r", ls="--", lw=1)
+        ax.set_title(f"joint {j + 1}", fontsize=9)
+        if j == 0:
+            ax.set_ylabel("position (rad)")
+        ax = axes[1, j]
+        ax.plot(t, qd[:, j], lw=0.8)
+        ax.axhline(spd[j], color="r", ls="--", lw=1)
+        ax.axhline(-spd[j], color="r", ls="--", lw=1)
+        ax.set_xlabel("time (s)")
+        if j == 0:
+            ax.set_ylabel("velocity (rad/s)")
+    fig.suptitle("joint positions / velocities vs limits")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

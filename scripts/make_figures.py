@@ -46,6 +46,7 @@ def main():
         plot_constraint_traces,
         plot_frs_overlay,
         plot_frs_topdown,
+        plot_joint_limits,
         plot_torques,
         plot_tracking,
         plot_world_topdown,
@@ -85,6 +86,7 @@ def main():
          {"cfg": pcfg, "dtype": dtype}),
         (plot_constraint_traces, f"{tag}_constraints.png",
          {"cfg": pcfg, "dtype": dtype}),
+        (plot_joint_limits, f"{tag}_joint_limits.png", {}),
     ]
     for fn, name, kw in figs:
         out = fn(rec, spec, os.path.join(args.out_dir, name), **kw)
