@@ -376,3 +376,82 @@ def plot_joint_limits(rec: dict, spec, out_path):
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_grasp_wrench(spec, grasp, q_fn, out_path, duration: float = 1.0,
+                      n_samples: int = 200):
+    """Contact-wrench figure family for grasp ("waiter-task") plans — the
+    reference's force/ZMP figures (`post_sim_plotting.m` figure(3) forces,
+    figure(401)/figure(9) ZMP position in the contact area).
+
+    ``q_fn(t) -> q``: the realized joint trajectory (e.g. a closure over
+    `bezier_ref` with the planned k).  The object's contact wrench in the
+    end-effector (tray) frame is computed from rigid-body Newton-Euler with
+    finite-differenced EE kinematics:
+
+        F = m (a_com - g),   N = I w_dot + w x I w + c x F   (EE frame)
+
+    Panels: separation force Fz (must stay > 0), friction-cone ratio
+    |F_xy| / (u_s Fz) (must stay < 1), and the ZMP point (-Ny/Fz, Nx/Fz)
+    inside the contact circle of radius ``surf_rad``.
+    """
+    if not HAVE_MPL:
+        return None
+    from armour_tpu.dynamics.utility import ee_pose
+
+    ts = np.linspace(0.0, duration, n_samples)
+    dt = ts[1] - ts[0]
+    Rs, ps = [], []
+    for t in ts:
+        R, p = ee_pose(spec, q_fn(t))
+        Rs.append(np.asarray(R, float))
+        ps.append(np.asarray(p, float))
+    Rs = np.stack(Rs)                       # (S, 3, 3) EE->world
+    ps = np.stack(ps)                       # (S, 3) EE origin, world
+    c_obj = np.asarray(grasp.object_com, float)
+    p_com = ps + np.einsum("sij,j->si", Rs, c_obj)
+    # linear acceleration of the object's COM (world frame)
+    a_com = np.gradient(np.gradient(p_com, dt, axis=0), dt, axis=0)
+    # angular velocity/acceleration from R_dot R^T (world), then EE frame
+    Rdot = np.gradient(Rs, dt, axis=0)
+    Wx = np.einsum("sij,skj->sik", Rdot, Rs)      # skew(omega_world)
+    w_world = np.stack([Wx[:, 2, 1], Wx[:, 0, 2], Wx[:, 1, 0]], axis=1)
+    wd_world = np.gradient(w_world, dt, axis=0)
+    g = np.array([0.0, 0.0, -9.81])
+    m = float(grasp.object_mass)
+    F_world = m * (a_com - g)
+    F = np.einsum("sji,sj->si", Rs, F_world)      # EE frame
+    w = np.einsum("sji,sj->si", Rs, w_world)
+    wd = np.einsum("sji,sj->si", Rs, wd_world)
+    I_o = np.diag(np.asarray(grasp.object_inertia_diag, float))
+    N = (wd @ I_o.T) + np.cross(w, w @ I_o.T) + np.cross(c_obj[None], F)
+    Fz = F[:, 2]
+    fric = np.sqrt(F[:, 0] ** 2 + F[:, 1] ** 2) / np.maximum(
+        grasp.u_s * Fz, 1e-9)
+    zmp = np.stack([-N[:, 1], N[:, 0]], axis=1) / np.maximum(
+        Fz[:, None], 1e-9)
+
+    fig = plt.figure(figsize=(12, 4))
+    ax = fig.add_subplot(1, 3, 1)
+    ax.plot(ts, Fz, lw=1.2)
+    ax.axhline(0.0, color="r", ls="--", lw=1)
+    ax.set_xlabel("time (s)"); ax.set_ylabel("Fz (N)")
+    ax.set_title("separation force (must stay > 0)")
+    ax = fig.add_subplot(1, 3, 2)
+    ax.plot(ts, fric, lw=1.2)
+    ax.axhline(1.0, color="r", ls="--", lw=1)
+    ax.set_xlabel("time (s)"); ax.set_ylabel(r"$|F_{xy}| / (\mu_s F_z)$")
+    ax.set_title("friction-cone ratio (must stay < 1)")
+    ax = fig.add_subplot(1, 3, 3)
+    th = np.linspace(0, 2 * np.pi, 100)
+    ax.plot(grasp.surf_rad * np.cos(th), grasp.surf_rad * np.sin(th),
+            "r--", lw=1)
+    sc = ax.scatter(zmp[:, 0], zmp[:, 1], c=ts, s=6, cmap="viridis")
+    fig.colorbar(sc, ax=ax, label="time (s)")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x (m)"); ax.set_ylabel("y (m)")
+    ax.set_title("ZMP in contact area")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path

@@ -76,6 +76,23 @@ def main():
     res_free = free.plan(q0, np.zeros(7), np.zeros(7), goal, obstacles)
     print(f"unconstrained comparison: feasible={bool(res_free.feasible)}")
 
+    # contact-wrench figure (reference force/ZMP figure families):
+    # separation force, friction-cone ratio, ZMP point in the contact
+    # circle along the realized nominal trajectory
+    from armour_tpu.utils.plotting import plot_grasp_wrench
+
+    out = os.path.join(os.path.dirname(__file__), "..", "assets", "figures",
+                       "grasp_wrench.png")
+
+    def q_fn(t):
+        qt, _, _ = bezier_ref(q0, np.zeros(7), np.zeros(7),
+                              cfg.k_range * k, t / cfg.duration, cfg.duration)
+        return jnp.asarray(qt, dtype)
+
+    fig = plot_grasp_wrench(spec, grasp, q_fn, out, duration=cfg.duration)
+    if fig:
+        print(f"figure: {os.path.normpath(fig)}")
+
 
 if __name__ == "__main__":
     main()
