@@ -97,6 +97,19 @@ def _setup():
 
     spec = kinova_gen3_spec()
     cfg = PlannerConfig()  # production sizes: T=128, capacity 40 obstacles
+    # experimental knobs (A/B tuning runs only — production defaults live
+    # in config.py and a change there must re-pass the world batteries)
+    import dataclasses as _dc
+
+    over = {}
+    if os.environ.get("BENCH_OUTER"):
+        over["nlp_outer_iters"] = int(os.environ["BENCH_OUTER"])
+    if os.environ.get("BENCH_INNER"):
+        over["nlp_inner_iters"] = int(os.environ["BENCH_INNER"])
+    if os.environ.get("BENCH_STARTS"):
+        over["nlp_num_starts"] = int(os.environ["BENCH_STARTS"])
+    if over:
+        cfg = _dc.replace(cfg, **over)
     planner = ArmourPlanner(spec, cfg, jnp.float32)
     return jax, jnp, cfg, planner
 
@@ -205,6 +218,49 @@ def run_batch_mode():
     _emit(plans_per_s, extra)
 
 
+def run_phases_mode():
+    """Phase breakdown: time the build (reachable sets + hyperplane bank,
+    lax.map) and solve (vmapped multi-start ALM) programs SEPARATELY at the
+    8- and 40-obstacle points — the data that says where optimization
+    effort should go (writes results/r4_phase_breakdown.json)."""
+    jax, jnp, cfg, planner = _setup()
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    rows = []
+    for n_obs in (8, 40):
+        args = _args_for(jax, jnp, cfg, B, n_obs=n_obs,
+                         seed=0 if n_obs == 8 else 7)
+        q0, qd0, qdd0, q_des, zonos, masks, keys = args
+        b = planner.obstacle_bucket(masks)
+        zb, mb = zonos[:, :b], masks[:, :b]
+        probs = jax.block_until_ready(planner._build_map(q0, qd0, qdd0, zb, mb))
+        k_warm = jnp.zeros(q0.shape, jnp.float32)
+        jax.block_until_ready(planner._solve_vmap(probs, q_des, keys, k_warm))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            probs = jax.block_until_ready(
+                planner._build_map(q0, qd0, qdd0, zb, mb))
+        t_build = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = jax.block_until_ready(
+                planner._solve_vmap(probs, q_des, keys, k_warm))
+        t_solve = (time.perf_counter() - t0) / reps
+        rows.append({
+            "n_obs": n_obs, "bucket": b, "batch": B,
+            "build_s": round(t_build, 4), "solve_s": round(t_solve, 4),
+            "plans_per_s": round(B / (t_build + t_solve), 1),
+            "feasible_fraction": round(
+                float(np.sum(np.asarray(res.feasible))) / B, 3),
+        })
+        print(rows[-1], file=sys.stderr)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results", "r4_phase_breakdown.json")
+    with open(out, "w") as f:
+        json.dump({"reps": reps, "rows": rows}, f, indent=2)
+    print(json.dumps({"metric": "phase_breakdown", "rows": rows}))
+
+
 def run_sweep_mode():
     """Batch-saturation sweep 32 -> 512 at the 8-obstacle point; writes
     results/r4_batch_sweep.json (run manually / committed as an artifact,
@@ -265,6 +321,9 @@ def main():
         return
     if mode == "sweep":
         run_sweep_mode()
+        return
+    if mode == "phases":
+        run_phases_mode()
         return
 
     # orchestrate: each attempt runs in a subprocess with a wall-clock

@@ -43,6 +43,10 @@ def main():
                          "(stalled worlds escalate regardless; "
                          "kinova_run_100_worlds.m uses the straight-line "
                          "HLP)")
+    ap.add_argument("--nlp-outer", type=int, default=0,
+                    help="override PlannerConfig.nlp_outer_iters (A/B runs)")
+    ap.add_argument("--nlp-inner", type=int, default=0,
+                    help="override PlannerConfig.nlp_inner_iters (A/B runs)")
     ap.add_argument("--out", default="", help="write JSON summary here")
     args = ap.parse_args()
 
@@ -66,6 +70,14 @@ def main():
 
     spec = kinova_gen3_spec()
     pcfg = PlannerConfig(num_time_steps=args.time_steps)
+    if args.nlp_outer or args.nlp_inner:
+        import dataclasses
+
+        pcfg = dataclasses.replace(
+            pcfg,
+            nlp_outer_iters=args.nlp_outer or pcfg.nlp_outer_iters,
+            nlp_inner_iters=args.nlp_inner or pcfg.nlp_inner_iters,
+        )
     scfg = SimConfig(max_iterations=args.max_iterations)
 
     files = sorted(glob.glob(os.path.join(args.worlds_dir, "*.csv")))[: args.max_worlds]
