@@ -122,6 +122,17 @@ class SimConfig:
     # per episode (kinova_run_100_worlds.m:63 max_sim_iter)
     max_iterations: int = 150
     stop_threshold: int = 4
+    # Stop-rescue (stepped driver only): on hitting stop_threshold
+    # consecutive infeasible plans the arm is already parked by the
+    # guaranteed braking maneuver, so instead of ending the episode the
+    # driver can force a fresh guidance escalation (next family in the
+    # config-RRT <-> EE-RRT* alternation) and reset the fail counter, up
+    # to this many times.  Safety is unaffected -- a parked arm re-trying
+    # guidance is exactly as safe as a stopped episode; it trades host
+    # wall time for goal-reach rate.  0 reproduces the reference protocol
+    # (`simulator_armtd.m:187-198` aborts after stop_threshold stops);
+    # the committed battery artifacts state which setting produced them.
+    stop_rescue_attempts: int = 2
 
     # goal tolerance per joint, radians (kinova_run_100_worlds.m:24)
     goal_radius: float = math.pi / 30

@@ -637,6 +637,7 @@ def run_batch_stepped(
     iters = np.zeros(B, np.int32)
     n_feas = np.zeros(B, np.int32)
     overshoot = {k: np.full(B, -np.inf) for k in ("jl", "ub", "tor")}
+    rescues = np.zeros(B, np.int32)
 
     for it in range(scfg.max_iterations):
         if done.all():
@@ -791,7 +792,24 @@ def run_batch_stepped(
         best_dist = np.minimum(best_dist, dist)
         stall = np.where(progressed, 0, stall + 1) * active
         fails = np.where(feas, 0, fails + 1) * active
-        stopped = fails >= scfg.stop_threshold
+        hit = fails >= scfg.stop_threshold
+        # stop-rescue: the arm is parked (braking fallback) — force a fresh
+        # guidance escalation instead of ending the episode, up to
+        # scfg.stop_rescue_attempts times (see SimConfig; the safe-stop
+        # diagnosis artifact shows stops are typically guidance-homotopy
+        # artifacts, not genuine infeasibility)
+        rescue = hit & active & (rescues < scfg.stop_rescue_attempts)
+        if rescue.any():
+            rescues = np.where(rescue, rescues + 1, rescues)
+            fails = np.where(rescue, 0, fails)
+            # trip the guidance-escalation threshold on the next iteration
+            # and drop any stale path so a NEW family/seed is planned
+            stall = np.where(rescue, max(scfg.stall_guidance, 1), stall)
+            for w in np.nonzero(rescue)[0]:
+                rrt_paths.pop(int(w), None)
+            if verbose:
+                print(f"  stop-rescue: worlds {np.nonzero(rescue)[0].tolist()}")
+        stopped = hit & ~rescue
         summ["stopped"] |= active & stopped
         iters += active
         n_feas += active & feas
