@@ -219,10 +219,12 @@ def run_batch_mode():
 
 
 def run_phases_mode():
-    """Phase breakdown: time the build (reachable sets + hyperplane bank,
-    lax.map) and solve (vmapped multi-start ALM) programs SEPARATELY at the
-    8- and 40-obstacle points — the data that says where optimization
-    effort should go (writes results/r4_phase_breakdown.json)."""
+    """Phase breakdown: time the build (reachable sets -> whole-FRS
+    obstacle culling -> hyperplane bank; includes the cull's one
+    device->host round trip) and solve (vmapped multi-start ALM) phases
+    SEPARATELY at the 8- and 40-obstacle points — the data that says where
+    optimization effort should go (writes results/r5_phase_breakdown.json).
+    Also records the post-culling bucket each point actually solves at."""
     jax, jnp, cfg, planner = _setup()
     reps = int(os.environ.get("BENCH_REPS", "3"))
     B = int(os.environ.get("BENCH_BATCH", "128"))
@@ -231,15 +233,14 @@ def run_phases_mode():
         args = _args_for(jax, jnp, cfg, B, n_obs=n_obs,
                          seed=0 if n_obs == 8 else 7)
         q0, qd0, qdd0, q_des, zonos, masks, keys = args
-        b = planner.obstacle_bucket(masks)
-        zb, mb = zonos[:, :b], masks[:, :b]
-        probs = jax.block_until_ready(planner._build_map(q0, qd0, qdd0, zb, mb))
+        probs = jax.block_until_ready(
+            planner.build_probs(q0, qd0, qdd0, zonos, masks))
         k_warm = jnp.zeros(q0.shape, jnp.float32)
         jax.block_until_ready(planner._solve_vmap(probs, q_des, keys, k_warm))
         t0 = time.perf_counter()
         for _ in range(reps):
             probs = jax.block_until_ready(
-                planner._build_map(q0, qd0, qdd0, zb, mb))
+                planner.build_probs(q0, qd0, qdd0, zonos, masks))
         t_build = (time.perf_counter() - t0) / reps
         t0 = time.perf_counter()
         for _ in range(reps):
@@ -247,7 +248,7 @@ def run_phases_mode():
                 planner._solve_vmap(probs, q_des, keys, k_warm))
         t_solve = (time.perf_counter() - t0) / reps
         rows.append({
-            "n_obs": n_obs, "bucket": b, "batch": B,
+            "n_obs": n_obs, "bucket": int(probs.hp.dpos.shape[-2]), "batch": B,
             "build_s": round(t_build, 4), "solve_s": round(t_solve, 4),
             "plans_per_s": round(B / (t_build + t_solve), 1),
             "feasible_fraction": round(
@@ -255,7 +256,7 @@ def run_phases_mode():
         })
         print(rows[-1], file=sys.stderr)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results", "r4_phase_breakdown.json")
+                       "results", "r5_phase_breakdown.json")
     with open(out, "w") as f:
         json.dump({"reps": reps, "rows": rows}, f, indent=2)
     print(json.dumps({"metric": "phase_breakdown", "rows": rows}))
@@ -263,7 +264,7 @@ def run_phases_mode():
 
 def run_sweep_mode():
     """Batch-saturation sweep 32 -> 512 at the 8-obstacle point; writes
-    results/r4_batch_sweep.json (run manually / committed as an artifact,
+    results/r5_batch_sweep.json (run manually / committed as an artifact,
     not part of the driver's single-line protocol)."""
     jax, jnp, cfg, planner = _setup()
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -278,7 +279,7 @@ def run_sweep_mode():
         rows.append(row)
         print(row, file=sys.stderr)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results", "r4_batch_sweep.json")
+                       "results", "r5_batch_sweep.json")
     with open(out, "w") as f:
         json.dump({"n_obs": 8, "reps": reps, "rows": rows}, f, indent=2)
     print(json.dumps({"metric": "batch_sweep", "rows": rows}))
@@ -311,64 +312,130 @@ def run_single_mode():
     })
 
 
+def run_fake_ok_mode():
+    """Test hook: a fast attempt that always lands a line."""
+    _emit(123.0, {"mode": "fake"})
+
+
+def run_fake_hang_mode():
+    """Test hook: an attempt that never finishes (stands in for a stalled
+    remote compile service)."""
+    time.sleep(3600)
+
+
+def _run_attempt(tag, sub_mode, extra_env, budget, dbg):
+    """One orchestrated attempt in a subprocess; returns its JSON line or
+    None.  The subprocess is killed when ``budget`` expires — a stalled
+    remote compile can never take the whole bench down with it."""
+    env = dict(os.environ, BENCH_MODE=sub_mode, **extra_env)
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=budget, capture_output=True, text=True,
+        )
+        dbg.write(f"=== {tag} rc={r.returncode} "
+                  f"({time.time() - t0:.0f}s) ===\n{r.stderr[-8000:]}\n")
+        dbg.flush()
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                return line
+        return None
+    except subprocess.TimeoutExpired as e:
+        err = (e.stderr or b"")
+        if isinstance(err, bytes):
+            err = err.decode(errors="replace")
+        dbg.write(f"=== {tag} TIMEOUT after {budget:.0f}s ===\n{err[-8000:]}\n")
+        dbg.flush()
+        return None
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "")
-    if mode == "batch":
-        run_batch_mode()
-        return
-    if mode == "single":
-        run_single_mode()
-        return
-    if mode == "sweep":
-        run_sweep_mode()
-        return
-    if mode == "phases":
-        run_phases_mode()
+    dispatch = {
+        "batch": run_batch_mode, "single": run_single_mode,
+        "sweep": run_sweep_mode, "phases": run_phases_mode,
+        "fake_ok": run_fake_ok_mode, "fake_hang": run_fake_hang_mode,
+    }
+    if mode in dispatch:
+        dispatch[mode]()
         return
 
-    # orchestrate: each attempt runs in a subprocess with a wall-clock
-    # budget (a cold-cache compile through the remote TPU compile service
-    # can exceed 420 s; with the persistent cache warm — the repo commits
-    # one — each comes up in well under 60 s).  Progressively smaller
-    # programs so SOME honest number always lands: batch 128 with the
-    # latency/40-obstacle extras -> plain batch 128 -> batch 32
-    # (quarter-size solve program) -> sequential single-plan.
-    attempts = [
-        ("batch", {"BENCH_BATCH": "128", "BENCH_EXTRAS": "1"},
-         int(os.environ.get("BENCH_TIMEOUT", "900"))),
-        ("batch", {"BENCH_BATCH": "128"}, int(os.environ.get("BENCH_TIMEOUT", "900"))),
-        ("batch", {"BENCH_BATCH": "32"}, int(os.environ.get("BENCH_TIMEOUT", "600"))),
-        ("single", {}, int(os.environ.get("BENCH_TIMEOUT", "420"))),
-    ]
+    # Orchestration contract (the reference always prints one timing number
+    # per plan, `armour_main.cu:224-230`; ours is: ONE JSON line, always,
+    # inside a HARD total deadline):
+    #   * a hard TOTAL internal deadline (BENCH_TOTAL_BUDGET, default 540 s)
+    #     bounds the sum of all attempts — the driver's external timeout can
+    #     never fire first (round 4's internal budgets summed to 2,820 s and
+    #     the driver killed the process before any fallback ran);
+    #   * smallest-risk FIRST: plain batch 128 is the committed-cache-warm
+    #     program — it lands the headline before anything speculative runs;
+    #   * the first successful line is BANKED; richer "upgrade" attempts
+    #     (latency + 40-obstacle extras) run only with a banked line in hand
+    #     and only inside the remaining budget — if they stall, the banked
+    #     line still prints;
+    #   * fallbacks (batch 32, sequential single-plan) run only when the
+    #     primary itself failed.
+    # Default total: 840 s.  Round 4's driver kill (rc=124) landed somewhere
+    # past the first 900 s attempt, so 840+margin stays inside the driver's
+    # window; a committed-cache-warm primary lands in ~60 s and the rest of
+    # the budget goes to the extras upgrade.  A fully cold compile of the
+    # production batch program measured ~660 s (round 5) — the committed
+    # .jax_cache is what makes the budget comfortable, the deadline is what
+    # makes a miss survivable.
+    t_start = time.monotonic()
+    total = float(os.environ.get("BENCH_TOTAL_BUDGET", "840"))
+    margin = float(os.environ.get("BENCH_DEADLINE_MARGIN", "10"))
+    min_attempt = float(os.environ.get("BENCH_MIN_ATTEMPT", "20"))
+
+    def remaining():
+        return total - (time.monotonic() - t_start) - margin
+
+    if os.environ.get("BENCH_TEST_ATTEMPTS"):
+        # test hook: "ok:primary,hang@3:upgrade" -> fake attempt sequence
+        # (optional "@cap" = per-attempt budget cap in seconds)
+        specs = []
+        for part in os.environ["BENCH_TEST_ATTEMPTS"].split(","):
+            kind, role = part.split(":")
+            cap = 1e9
+            if "@" in kind:
+                kind, cap_s = kind.split("@")
+                cap = float(cap_s)
+            specs.append((f"fake-{kind}-{role}", f"fake_{kind}", {}, cap, role))
+    else:
+        specs = [
+            ("batch128", "batch", {"BENCH_BATCH": "128"}, 420.0, "primary"),
+            ("batch128+extras", "batch",
+             {"BENCH_BATCH": "128", "BENCH_EXTRAS": "1"}, 1e9, "upgrade"),
+            ("batch32", "batch", {"BENCH_BATCH": "32"}, 300.0, "fallback"),
+            ("single", "single", {}, 1e9, "fallback"),
+        ]
+
     debug_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
     os.makedirs(debug_dir, exist_ok=True)
     debug_path = os.path.join(debug_dir, "bench_last_stderr.txt")
+    banked = None
     failures = []
     with open(debug_path, "w") as dbg:
-        for sub_mode, extra_env, budget in attempts:
-            env = dict(os.environ, BENCH_MODE=sub_mode, **extra_env)
-            tag = f"{sub_mode}:{extra_env.get('BENCH_BATCH', '-')}"
-            t0 = time.time()
-            try:
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)],
-                    env=env, timeout=budget, capture_output=True, text=True,
-                )
-                dbg.write(f"=== {tag} rc={r.returncode} "
-                          f"({time.time() - t0:.0f}s) ===\n{r.stderr[-8000:]}\n")
+        for tag, sub_mode, extra_env, cap, role in specs:
+            if role == "upgrade" and banked is None:
+                continue  # nothing to upgrade
+            if role == "fallback" and banked is not None:
+                continue  # already have the headline
+            budget = min(cap, remaining())
+            if budget < min_attempt:
+                dbg.write(f"=== {tag} SKIPPED (total deadline) ===\n")
                 dbg.flush()
-                for line in r.stdout.splitlines():
-                    if line.startswith("{"):
-                        print(line)
-                        return
-                failures.append(f"{tag}: rc={r.returncode}, no JSON")
-            except subprocess.TimeoutExpired as e:
-                err = (e.stderr or b"")
-                if isinstance(err, bytes):
-                    err = err.decode(errors="replace")
-                dbg.write(f"=== {tag} TIMEOUT after {budget}s ===\n{err[-8000:]}\n")
-                dbg.flush()
-                failures.append(f"{tag}: timeout {budget}s")
+                failures.append(f"{tag}: skipped (deadline)")
+                continue
+            line = _run_attempt(tag, sub_mode, extra_env, budget, dbg)
+            if line is not None:
+                banked = line  # an upgrade line supersedes the plain one
+            elif role != "upgrade":
+                failures.append(f"{tag}: no JSON within {budget:.0f}s")
+    if banked is not None:
+        print(banked)
+        return
     _emit(0.0, {"mode": "unavailable",
                 "error": "TPU compile/exec did not complete within budget: "
                          + "; ".join(failures)})

@@ -1,0 +1,76 @@
+"""The bench orchestrator must ALWAYS print one JSON line inside its hard
+total deadline — even when an attempt hangs (a stalled remote TPU compile
+service), which is what zeroed BENCH_r04 (rc=124, no output).
+
+The fake attempt modes (BENCH_TEST_ATTEMPTS) stand in for real bench
+programs; the contract under test is pure orchestration: banking, the
+total deadline, and fallback ordering.  Reference contract analog: the
+CUDA planner prints one timing line per plan unconditionally
+(`kinova_planner_realtime/armour_main.cu:224-230`).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+
+
+def _run(attempts, budget, timeout=60):
+    env = dict(
+        os.environ,
+        BENCH_TEST_ATTEMPTS=attempts,
+        BENCH_TOTAL_BUDGET=str(budget),
+        BENCH_DEADLINE_MARGIN="1",
+        BENCH_MIN_ATTEMPT="2",
+    )
+    env.pop("BENCH_MODE", None)
+    t0 = time.monotonic()
+    r = subprocess.run(
+        [sys.executable, BENCH], env=env, capture_output=True, text=True,
+        timeout=timeout,
+    )
+    wall = time.monotonic() - t0
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1, f"want exactly one JSON line, got: {r.stdout!r}"
+    return json.loads(lines[0]), wall
+
+
+def test_banked_line_survives_hanging_upgrade():
+    """Primary succeeds, the upgrade hangs: the banked primary line must
+    print once the total deadline fires (round 4's exact failure shape,
+    inverted: there the risky attempt ran FIRST and starved everything)."""
+    out, wall = _run("ok:primary,hang:upgrade", budget=10, timeout=60)
+    assert out["value"] == 123.0
+    assert wall < 30.0  # the hung upgrade was killed at the deadline
+
+
+def test_hanging_primary_falls_back():
+    """Primary hangs (killed at its per-attempt cap): a fallback still
+    lands a line well inside the total deadline."""
+    out, wall = _run("hang@3:primary,ok:fallback", budget=20, timeout=60)
+    assert out["value"] == 123.0
+    assert wall < 30.0
+
+
+def test_fast_path_prints_immediately():
+    out, wall = _run("ok:primary", budget=60, timeout=60)
+    assert out["value"] == 123.0
+    assert wall < 30.0
+
+
+def test_everything_hangs_still_prints_unavailable():
+    """Total deadline exhausted with no successful attempt: the honest
+    zero-line prints — the driver NEVER sees an empty tail again."""
+    out, wall = _run("hang@3:primary,hang:fallback", budget=10, timeout=60)
+    assert out["value"] == 0.0
+    assert out["mode"] == "unavailable"
+    assert wall < 30.0
+
+
+def test_upgrade_line_supersedes_primary():
+    out, _ = _run("ok:primary,ok:upgrade", budget=30, timeout=60)
+    assert out["value"] == 123.0  # both fakes emit the same line; the
+    # contract is simply that exactly one line prints (asserted in _run)
