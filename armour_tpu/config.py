@@ -80,6 +80,18 @@ class PlannerConfig:
     # 40-obstacle worst case (roofline: PERFORMANCE.md).
     collision_bank_bf16: bool = True
 
+    # sound whole-FRS obstacle culling (batched path only): an obstacle
+    # provably separated from the interval hull of every link center set
+    # over ALL k in [-1,1]^n (plus link-shape radii and numeric slack) is
+    # dropped from the hyperplane bank before the solve — the feasible
+    # set, iterates, and verification verdicts are unchanged (its
+    # constraint block is satisfied for every candidate trajectory), but
+    # the bank the solver streams per Gauss-Newton iteration shrinks to
+    # the obstacles actually within reach.  TPU analog of the reference's
+    # CUDA grid scaling with the live obstacle count
+    # (`CollisionChecking.cu:107-125`).  Env override: ARMOUR_CULL=0.
+    obstacle_culling: bool = True
+
     # smooth-collision mode (the role of the reference's optional
     # Borrelli-dual formulation, `uarmtd_planner.m:723-743,810-856`): when
     # > 0, the NLP's collision block uses the everywhere-differentiable,
@@ -125,14 +137,17 @@ class SimConfig:
     # Stop-rescue (stepped driver only): on hitting stop_threshold
     # consecutive infeasible plans the arm is already parked by the
     # guaranteed braking maneuver, so instead of ending the episode the
-    # driver can force a fresh guidance escalation (next family in the
-    # config-RRT <-> EE-RRT* alternation) and reset the fail counter, up
-    # to this many times.  Safety is unaffected -- a parked arm re-trying
+    # driver can force a fresh guidance escalation (both path families
+    # dropped, retry counters reset) and reset the fail counter, up to
+    # this many times.  Safety is unaffected -- a parked arm re-trying
     # guidance is exactly as safe as a stopped episode; it trades host
-    # wall time for goal-reach rate.  0 reproduces the reference protocol
-    # (`simulator_armtd.m:187-198` aborts after stop_threshold stops);
-    # the committed battery artifacts state which setting produced them.
-    stop_rescue_attempts: int = 2
+    # wall time for goal-reach rate.  The DEFAULT is 0 = the reference
+    # protocol (`simulator_armtd.m:187-198` aborts after stop_threshold
+    # consecutive stops), so battery numbers are comparable to the
+    # reference and across rounds; opt in per run (e.g.
+    # run_100_worlds.py --stop-rescue N), and every battery artifact
+    # records the setting in its protocol block.
+    stop_rescue_attempts: int = 0
 
     # goal tolerance per joint, radians (kinova_run_100_worlds.m:24)
     goal_radius: float = math.pi / 30

@@ -106,14 +106,32 @@ class ArmourPlanner:
         else:
             self._si_pairs = []
         self._plan = jax.jit(self._make_plan_fn())
-        # batched path: the heavy reachable-set/hyperplane build runs as a
-        # sequential lax.map over worlds (compiled ONCE, unbatched — a fully
-        # vmapped build blows up XLA compile time), while the
-        # iteration-dominated NLP solve is vmapped for throughput.
+        # batched path, three separately-jitted programs (each compiles
+        # faster than the fused whole and the intermediates are small):
+        #   1. _rs_map: the heavy obstacle-INDEPENDENT reachable-set build
+        #      (JRS -> PZ-FK/RNEA -> packed slicing tensors), a chunked
+        #      lax.map over worlds (a fully vmapped build blows up XLA
+        #      compile time);
+        #   2. _buffer_vmap: the cheap hyperplane-bank build at the (post-
+        #      culling) obstacle bucket;
+        #   3. _solve_vmap: the iteration-dominated NLP solve.
+        # Splitting 1 from 2 is what enables sound whole-FRS obstacle
+        # culling in between (see ``cull_keep``).
+        rs_fn = self._make_rs_fn()
+        buffer_fn = self._make_buffer_fn()
         build = self._make_build_fn()
         solve = self._make_solve_fn()
-        # two separately-jitted programs: each compiles faster than the
-        # fused whole, and the intermediate ProblemData batch is small
+        self._rs_map = jax.jit(
+            lambda q0, qd0, qdd0: jax.lax.map(
+                lambda a: rs_fn(*a), (q0, qd0, qdd0),
+                batch_size=self.build_chunk,
+            )
+        )
+        self._buffer_vmap = jax.jit(jax.vmap(buffer_fn))
+        self._cull_jit = jax.jit(self._make_cull_fn())
+        # fused build (rs + bank in ONE program, no host round trip) for
+        # batches already at the minimum bucket, where culling cannot
+        # shrink the solve and would only add dispatch + sync latency
         self._build_map = jax.jit(
             lambda q0, qd0, qdd0, zonos, masks: jax.lax.map(
                 lambda a: build(*a), (q0, qd0, qdd0, zonos, masks),
@@ -125,11 +143,72 @@ class ArmourPlanner:
         def _batch(q0, qd0, qdd0, q_des, zonos, masks, keys, k_warm=None):
             if k_warm is None:
                 k_warm = jnp.zeros(q0.shape, self.dtype)
-            b = self.obstacle_bucket(masks)
-            probs = self._build_map(q0, qd0, qdd0, zonos[:, :b], masks[:, :b])
+            probs = self.build_probs(q0, qd0, qdd0, zonos, masks)
             return self._solve_vmap(probs, q_des, keys, k_warm)
 
         self.plan_batch = _batch
+
+    def build_probs(self, q0, qd0, qdd0, zonos, masks):
+        """Host-orchestrated batched build: reachable sets -> whole-FRS
+        obstacle culling -> compaction -> bucketed hyperplane bank.
+
+        Culling (TPU analog of the reference's CUDA grid scaling with the
+        LIVE obstacle count, `CollisionChecking.cu:107-125`): an obstacle
+        whose AABB is separated from the interval hull of EVERY link's
+        center set over ALL k in [-1,1]^n (plus the link-shape generator
+        radii and the numeric slack) can never activate its constraint
+        block for any candidate trajectory — dropping it leaves the NLP's
+        feasible set, iterates, and verification verdicts unchanged while
+        shrinking the bank the solver streams every Gauss-Newton
+        iteration.  One device->host round trip (the keep mask) per batch.
+        """
+        import os
+
+        zonos = jnp.asarray(zonos, self.dtype)
+        masks = jnp.asarray(masks)
+        q0 = jnp.asarray(q0, self.dtype)
+        qd0 = jnp.asarray(qd0, self.dtype)
+        qdd0 = jnp.asarray(qdd0, self.dtype)
+        b0 = self.obstacle_bucket(masks)
+        cull = self.cfg.obstacle_culling and os.environ.get("ARMOUR_CULL", "1") != "0"
+        if not cull or b0 <= 8:
+            # already at the minimum bucket: culling cannot shrink the
+            # solve — use the fused single-program build (one dispatch,
+            # no device->host sync)
+            return self._build_map(q0, qd0, qdd0, zonos[:, :b0], masks[:, :b0])
+        probs, link_gens, aabb_c, aabb_r = self._rs_map(q0, qd0, qdd0)
+        keep = np.asarray(self._cull_jit(aabb_c, aabb_r, zonos, masks))
+        # compact kept obstacles to the front of the capacity axis
+        # (host numpy; kept-first stable order)
+        order = np.argsort(~keep, axis=1, kind="stable")
+        z_np = np.take_along_axis(np.asarray(zonos), order[:, :, None, None], axis=1)
+        m_np = np.take_along_axis(keep, order, axis=1)
+        zonos, masks = jnp.asarray(z_np, self.dtype), jnp.asarray(m_np)
+        b = self.obstacle_bucket(masks)
+        hp = self._buffer_vmap(link_gens, zonos[:, :b], masks[:, :b])
+        return probs._replace(hp=hp)
+
+    def _make_cull_fn(self):
+        """keep(aabb_c, aabb_r, zonos, masks) -> (B, O) bool: False only
+        when the obstacle is PROVABLY separated from the whole-FRS link
+        hulls for all (t, link) — sound to drop (see ``build_probs``)."""
+        margin = self.cfg.collision_numeric_slack + 1e-3
+
+        def cull(aabb_c, aabb_r, zonos, masks):
+            obs_c = zonos[:, :, 0]                        # (B, O, 3)
+            obs_r = jnp.sum(jnp.abs(zonos[:, :, 1:]), axis=2)  # (B, O, 3)
+            separated = None
+            for i in range(3):  # per-axis to avoid a (B,T,L,O,3) temporary
+                dc = jnp.abs(
+                    aabb_c[:, :, :, None, i] - obs_c[:, None, None, :, i]
+                )                                          # (B, T, L, O)
+                s_i = dc - aabb_r[:, :, :, None, i] - obs_r[:, None, None, :, i]
+                sep_i = s_i > margin
+                separated = sep_i if separated is None else (separated | sep_i)
+            keep = ~jnp.all(separated, axis=(1, 2))        # (B, O)
+            return keep & masks
+
+        return cull
 
     def obstacle_bucket(self, masks) -> int:
         """Smallest static obstacle capacity (multiple of 8, host-decided)
@@ -168,24 +247,36 @@ class ArmourPlanner:
 
     # -- construction -----------------------------------------------------
     def _make_plan_fn(self, collision_axis: str | None = None):
-        """Single-problem plan function: build + solve composed."""
-        build = self._make_build_fn()
+        """Single-problem plan function: build + solve composed (no host
+        round trip, so no obstacle culling — used by `plan` and the
+        shard_map multi-chip path)."""
+        rs_fn = self._make_rs_fn()
+        buffer_fn = self._make_buffer_fn()
         solve = self._make_solve_fn(collision_axis)
 
         def plan(q0, qd0, qdd0, q_des, obs_zonos, obs_mask, key, k_warm):
-            return solve(build(q0, qd0, qdd0, obs_zonos, obs_mask), q_des, key, k_warm)
+            prob, link_gens, _, _ = rs_fn(q0, qd0, qdd0)
+            prob = prob._replace(hp=buffer_fn(link_gens, obs_zonos, obs_mask))
+            return solve(prob, q_des, key, k_warm)
 
         return plan
 
-    def _make_build_fn(self):
-        """Reachable-set phase: JRS -> PZ-FK/RNEA -> hyperplane bank ->
-        packed slicing tensors (reference §II, `armour_main.cu:94-222`)."""
+    def _make_rs_fn(self):
+        """Obstacle-independent reachable-set phase: JRS -> PZ-FK/RNEA ->
+        packed slicing tensors (reference §II, `armour_main.cu:94-143`).
+
+        Returns ``(ProblemData with hp=None, link_indep_gens,
+        aabb_c (T,L,3), aabb_r (T,L,3))`` — the AABBs are the interval
+        hulls of the link-center sets over ALL k in [-1,1]^n (every
+        monomial of k in [-1,1]^n lies in [-1,1], so c ± (Σ|G| + r) bounds
+        every slice) plus the link-shape generator radii; they feed the
+        sound whole-FRS obstacle culling in ``build_probs``."""
         spec, cfg0, dtype = self.spec, self.cfg, self.dtype
         armtd = self.traj_type == "orig"
         cfg = dataclasses.replace(cfg0, input_constraints=False) if armtd else cfg0
         from armour_tpu.ops.pz import pack_pzs
 
-        def build(q0, qd0, qdd0, obs_zonos, obs_mask):
+        def build_rs(q0, qd0, qdd0):
             if armtd:
                 jrs = make_armtd_jrs(spec, cfg, q0, qd0, dtype)
                 Tqd0 = jnp.zeros_like(q0)
@@ -194,23 +285,23 @@ class ArmourPlanner:
                 jrs = make_bezier_jrs(spec, cfg, q0, qd0, qdd0, dtype)
                 Tqd0, TTqdd0 = jrs.Tqd0, jrs.TTqdd0
             rs = build_reachable_sets(spec, cfg, jrs, dtype, grasp=self.grasp)
-            hp = buffer_obstacles(
-                rs.link_indep_gens,
-                ObstacleSet(obs_zonos, obs_mask),
-                slack=cfg.collision_numeric_slack,
-                store_bf16=cfg.collision_bank_bf16,
-            )
             si_diff = si_rad = None
             if self._si_pairs:
                 from armour_tpu.planner.rotatotope import build_self_intersection
 
                 si_diff, si_rad = build_self_intersection(
                     rs.link_pz, rs.link_indep_gens, self._si_pairs)
-            return ProblemData(
-                links=pack_pzs(rs.link_pz, axis=1),
+            links = pack_pzs(rs.link_pz, axis=1)
+            # whole-FRS link hulls for obstacle culling
+            aabb_c = links.c                                  # (T, L, 3)
+            aabb_r = links.r + jnp.sum(jnp.abs(rs.link_indep_gens), axis=-1)
+            if len(links.basis):
+                aabb_r = aabb_r + jnp.sum(jnp.abs(links.G), axis=0)
+            prob = ProblemData(
+                links=links,
                 u=pack_pzs(rs.u_nom, axis=-1) if cfg.input_constraints else None,
                 grasp=pack_pzs(rs.grasp_cons, axis=-1) if rs.grasp_cons else None,
-                hp=hp,
+                hp=None,
                 t_rad=rs.torque_radius,
                 q0=q0,
                 qd0=qd0,
@@ -220,8 +311,38 @@ class ArmourPlanner:
                 si_diff=si_diff,
                 si_rad=si_rad,
             )
+            return prob, rs.link_indep_gens, aabb_c, aabb_r
+
+        return build_rs
+
+    def _make_build_fn(self):
+        """Composed single-world build (reachable sets + hyperplane bank),
+        the pre-culling ProblemData constructor — kept for tests, plotting,
+        and any caller that wants the full build as one traceable fn."""
+        rs_fn = self._make_rs_fn()
+        buffer_fn = self._make_buffer_fn()
+
+        def build(q0, qd0, qdd0, obs_zonos, obs_mask):
+            prob, link_gens, _, _ = rs_fn(q0, qd0, qdd0)
+            return prob._replace(hp=buffer_fn(link_gens, obs_zonos, obs_mask))
 
         return build
+
+    def _make_buffer_fn(self):
+        """Hyperplane-bank phase (reference §II buffering,
+        `CollisionChecking.cu:136-228`): cheap relative to the RS build,
+        split out so culling can shrink the obstacle axis first."""
+        cfg = self.cfg
+
+        def buffer_fn(link_indep_gens, obs_zonos, obs_mask):
+            return buffer_obstacles(
+                link_indep_gens,
+                ObstacleSet(obs_zonos, obs_mask),
+                slack=cfg.collision_numeric_slack,
+                store_bf16=cfg.collision_bank_bf16,
+            )
+
+        return buffer_fn
 
     def _make_solve_fn(self, collision_axis: str | None = None):
         """NLP phase: constraint closures over a built problem -> multi-start
@@ -368,6 +489,59 @@ class ArmourPlanner:
             # braking maneuver, so a safely-parked arm always has a valid
             # plan — matching Ipopt's behavior of returning the feasible
             # incumbent when the cost pulls into a constraint boundary).
+            #
+            # Default (hard-max) mode verifies FUSED: the lockstep solver's
+            # carried constraint values are exact at the final iterates
+            # (sol.c) and at the starts (sol.c0), and the strictly-feasible
+            # incumbents satisfy max c <= 0 < every threshold by
+            # construction — so the whole pool is judged with ZERO extra
+            # passes over the constraint bank.  Smooth-collision mode keeps
+            # the explicit pass because its solver values are the smooth
+            # conservative bound, while the verification contract is
+            # against the hard max.
+            if cfg.smooth_collision_tau == 0.0:
+                m = sol.c0.shape[-1]
+                parts = []
+                if prob.u is not None:
+                    m_t = int(np.prod(prob.u.c.shape))
+                    parts.append((m_t, cfg.torque_violation_threshold))
+                    parts.append((m_t, cfg.torque_violation_threshold))
+                if prob.grasp is not None:
+                    parts.append((int(np.prod(prob.grasp.c.shape)), 1e-6))
+                m_tail = 8 * nf
+                if prob.si_diff is not None:
+                    m_tail += int(np.prod(prob.si_rad.shape[:2]))
+                m_coll = m - sum(p[0] for p in parts) - m_tail
+                parts.append((m_coll, cfg.collision_violation_threshold))
+                if prob.si_diff is not None:
+                    parts.append((int(np.prod(prob.si_rad.shape[:2])),
+                                  cfg.collision_violation_threshold))
+                parts.append((8 * nf, cfg.state_violation_threshold))
+                thr = jnp.concatenate(
+                    [jnp.full((sz,), t, dtype) for sz, t in parts])
+
+                pool = jnp.concatenate([sol.k, sol.k_feas, k0s[:2]])
+                feas = jnp.concatenate([
+                    jnp.all(sol.c <= thr[None], axis=-1),
+                    sol.found_feas,
+                    jnp.all(sol.c0[:2] <= thr[None], axis=-1),
+                ])
+                viols = jnp.concatenate([
+                    jnp.max(sol.c, axis=-1),
+                    sol.v_feas,
+                    jnp.max(sol.c0[:2], axis=-1),
+                ])
+                costs = jnp.where(feas, jax.vmap(f_fn)(pool), jnp.inf)
+                best = jnp.argmin(costs)
+                feasible = feas[best]
+                return PlanResult(
+                    k=jnp.where(feasible, pool[best], jnp.nan),
+                    feasible=feasible,
+                    cost=costs[best] / cfg.cost_scale,
+                    max_violation=viols[best],
+                    torque_radius=prob.t_rad,
+                )
+
             def verify_pool(P):
                 Np = P.shape[0]
                 ok = jnp.ones((Np,), bool)

@@ -32,6 +32,16 @@ class ALMResult(NamedTuple):
     cost: jnp.ndarray
     k_feas: jnp.ndarray     # (n,) lowest-cost STRICTLY feasible iterate seen
     found_feas: jnp.ndarray  # bool: k_feas is valid (else == k0)
+    # fused-verification extras (solve_box_alm_multi only; None otherwise).
+    # The lockstep solver's carried (c, J) pair is EXACT at the accepted
+    # iterate, so the caller can verify the final iterates, the
+    # strictly-feasible incumbents, and the initial starts against its
+    # per-block thresholds WITHOUT any extra pass over the constraint bank
+    # (the reference re-evaluates everything inside finalize_solution,
+    # `NLPclass.cu:446-538`; here that re-evaluation is free).
+    c: jnp.ndarray = None    # (S, m) exact constraint values at k
+    c0: jnp.ndarray = None   # (S, m) exact constraint values at the starts
+    v_feas: jnp.ndarray = None  # (S,) max constraint value at k_feas (<= 0)
 
 
 def solve_box_alm(
@@ -262,7 +272,7 @@ def solve_box_alm_multi(
                 scale), None
 
     def outer_step(carry, _):
-        K, c, J, lam, mu, prev_viol, K_feas, f_feas, found = carry
+        K, c, J, lam, mu, prev_viol, K_feas, f_feas, v_feas, found = carry
         (K, c, J, lam, mu, _), _ = jax.lax.scan(
             inner_step,
             (K, c, J, lam, mu, jnp.ones((S,), dtype)),
@@ -270,24 +280,26 @@ def solve_box_alm_multi(
         # c is exact at K (carried from the accepted candidate's pass)
         viol = jnp.max(jnp.maximum(c, 0.0), axis=-1)       # (S,)
         f_now = f_b(K)
-        upd = (jnp.max(c, axis=-1) <= 0.0) & (f_now < f_feas)
+        c_max = jnp.max(c, axis=-1)
+        upd = (c_max <= 0.0) & (f_now < f_feas)
         K_feas = jnp.where(upd[:, None], K, K_feas)
         f_feas = jnp.where(upd, f_now, f_feas)
+        v_feas = jnp.where(upd, c_max, v_feas)
         found = found | upd
         lam = jnp.maximum(0.0, lam + mu[:, None] * c)
         mu = jnp.where(viol > 0.25 * prev_viol, jnp.minimum(mu * mu_growth, mu_max), mu)
-        return (K, c, J, lam, mu, viol, K_feas, f_feas, found), None
+        return (K, c, J, lam, mu, viol, K_feas, f_feas, v_feas, found), None
 
     c0, J0 = cj_fn_multi(K0)                               # init bank pass
     m = c0.shape[-1]
     lam0 = jnp.zeros((S, m), dtype)
     big = jnp.full((S,), jnp.inf, dtype)
-    (K, c, J, lam, mu, viol, K_feas, f_feas, found), _ = jax.lax.scan(
+    (K, c, J, lam, mu, viol, K_feas, f_feas, v_feas, found), _ = jax.lax.scan(
         outer_step,
-        (K0, c0, J0, lam0, jnp.full((S,), mu0, dtype), big, K0, big,
+        (K0, c0, J0, lam0, jnp.full((S,), mu0, dtype), big, K0, big, big,
          jnp.zeros((S,), bool)),
         None,
         length=outer_iters,
     )
     return ALMResult(k=K, max_violation=viol, cost=f_b(K), k_feas=K_feas,
-                     found_feas=found)
+                     found_feas=found, c=c, c0=c0, v_feas=v_feas)

@@ -1,0 +1,124 @@
+"""Whole-FRS obstacle culling (planner/armour.py::build_probs).
+
+Contract: culling may only drop obstacles PROVABLY separated from every
+link's center hull over ALL k in [-1,1]^n — so a culled batch must
+produce the same plans (same feasibility, same k up to summation-order
+roundoff) as the uncalled one, while solving at a smaller bucket.  The
+TPU analog of the reference CUDA grid scaling with the live obstacle
+count (`CollisionChecking.cu:107-125`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from armour_tpu.collision.zonotope import ObstacleSet
+from armour_tpu.config import PlannerConfig
+from armour_tpu.planner.armour import ArmourPlanner
+from armour_tpu.robots.kinova import kinova_gen3_spec
+
+SPEC = kinova_gen3_spec()
+CFG = PlannerConfig(
+    num_time_steps=16,
+    max_obstacles=24,
+    nlp_num_starts=4,
+    nlp_outer_iters=6,
+    nlp_inner_iters=6,
+)
+Q_HOME = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+
+
+def _mixed_world(n_far=20):
+    """One obstacle near the arm (must be kept), many far away (cullable).
+
+    The whole-FRS tube from Q_HOME with k_range=pi/48 is TIGHT (center
+    hull x in [-0.43, 0.00], y in [-0.05, 0.05], z in [0.24, 0.80],
+    radii <= 0.26) — the near obstacle must sit against that tube, not
+    merely near the robot's base."""
+    rng = np.random.default_rng(3)
+    # brushes link 6's conservative hull (center ~[-0.43, -0.05, 0.79],
+    # radius ~[0.21, 0.20, 0.17] + 0.06 obstacle half-side) without
+    # touching the much smaller TRUE link volumes -> kept AND feasible
+    centers = [[-0.42, 0.20, 0.79]]
+    sides = [[0.12, 0.12, 0.12]]
+    for _ in range(n_far):
+        c = rng.uniform(3.0, 6.0, 3) * rng.choice([-1.0, 1.0], 3)
+        c[2] = abs(c[2])
+        centers.append(c.tolist())
+        sides.append(rng.uniform(0.1, 0.4, 3).tolist())
+    return ObstacleSet.from_boxes(np.asarray(centers), np.asarray(sides),
+                                  CFG.max_obstacles)
+
+
+def _batch_args(world, B=2):
+    zonos = jnp.broadcast_to(world.zonos, (B,) + world.zonos.shape)
+    masks = jnp.broadcast_to(world.mask, (B,) + world.mask.shape)
+    q_des = Q_HOME + 0.5 * CFG.k_range
+    return (
+        jnp.broadcast_to(jnp.asarray(Q_HOME), (B, 7)), jnp.zeros((B, 7)),
+        jnp.zeros((B, 7)), jnp.broadcast_to(jnp.asarray(q_des), (B, 7)),
+        zonos, masks, jax.random.split(jax.random.PRNGKey(0), B),
+    )
+
+
+def test_cull_keeps_near_drops_far():
+    planner = ArmourPlanner(SPEC, CFG)
+    world = _mixed_world()
+    args = _batch_args(world)
+    _, _, aabb_c, aabb_r = planner._rs_map(*args[:3])
+    keep = np.asarray(planner._cull_jit(aabb_c, aabb_r, args[4], args[5]))
+    assert keep[0, 0], "the tube-adjacent obstacle must be kept"
+    assert not keep[0, 1:].any(), "every far obstacle must be culled"
+    probs = planner.build_probs(*args[:3], args[4], args[5])
+    bucket = int(probs.hp.dpos.shape[-2])
+    assert bucket == 8, f"21 live obstacles should cull to the 8-bucket, got {bucket}"
+    # exactly one live slot survives in the compacted bank
+    assert np.asarray(probs.hp.obs_mask)[0].sum() == 1
+
+
+def test_cull_preserves_plans():
+    """Culled vs uncalled plans agree: same feasibility, k to roundoff."""
+    planner = ArmourPlanner(SPEC, CFG)
+    world = _mixed_world()
+    args = _batch_args(world)
+    res_cull = planner.plan_batch(*args)
+    import os
+
+    os.environ["ARMOUR_CULL"] = "0"
+    try:
+        res_full = planner.plan_batch(*args)
+    finally:
+        del os.environ["ARMOUR_CULL"]
+    assert np.array_equal(np.asarray(res_cull.feasible),
+                          np.asarray(res_full.feasible))
+    np.testing.assert_allclose(np.asarray(res_cull.k), np.asarray(res_full.k),
+                               atol=1e-6)
+
+
+def test_cull_never_drops_blocking_obstacle():
+    """A world whose ONLY obstacle engulfs the workspace must stay
+    infeasible after culling (the blocked-world contract)."""
+    planner = ArmourPlanner(SPEC, CFG)
+    world = ObstacleSet.from_boxes(
+        np.array([[0.0, 0.0, 0.3]]), np.array([[4.0, 4.0, 2.5]]),
+        CFG.max_obstacles,
+    )
+    args = _batch_args(world)
+    res = planner.plan_batch(*args)
+    assert not np.asarray(res.feasible).any()
+    assert np.isnan(np.asarray(res.k)).all()
+
+
+def test_cull_all_obstacles_far():
+    """Everything cullable: solves at the minimum bucket, feasible."""
+    planner = ArmourPlanner(SPEC, CFG)
+    world = ObstacleSet.from_boxes(
+        np.full((10, 3), 7.0) + np.arange(10)[:, None],
+        np.full((10, 3), 0.3), CFG.max_obstacles,
+    )
+    args = _batch_args(world)
+    probs = planner.build_probs(*args[:3], args[4], args[5])
+    assert int(probs.hp.dpos.shape[-2]) == 8  # minimum bucket
+    assert not np.asarray(probs.hp.obs_mask).any()  # no live slots left
+    res = planner.plan_batch(*args)
+    assert np.asarray(res.feasible).all()
