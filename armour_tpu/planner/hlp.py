@@ -641,3 +641,91 @@ def prm_waypoints(
         path.append(nodes[p])
         p = prev[p]
     return np.asarray(path[::-1])
+
+
+class ManualWaypointHLP:
+    """User-supplied waypoint sequence, consumed in order
+    (`arm_manual_waypoint_HLP.m` / `manual_waypoint_HLP.m:30-55` parity —
+    minus the MATLAB plotting): ``get_waypoint`` returns the current
+    waypoint and advances when the query configuration comes within
+    ``advance_radius`` of it; the final waypoint is returned forever.
+
+    The battery drivers consume paths through the same mechanism
+    (`sim/harness.py` rrt_paths follower); this class is the standalone
+    library surface for callers scripting their own episode loop."""
+
+    def __init__(self, waypoints, advance_radius: float = 0.35):
+        self.waypoints = np.atleast_2d(np.asarray(waypoints, float))
+        self.advance_radius = float(advance_radius)
+        self.index = 0
+
+    def get_waypoint(self, q_cur) -> np.ndarray:
+        q_cur = np.asarray(q_cur, float)
+        while (self.index < len(self.waypoints) - 1
+               and np.linalg.norm(q_cur - self.waypoints[self.index])
+               < self.advance_radius):
+            self.index += 1
+        return self.waypoints[self.index]
+
+
+def optimization_waypoint(
+    spec: RobotSpec,
+    q_start,
+    q_goal,
+    obstacles: ObstacleSet,
+    buffer_dist: float = 0.1,
+    outer_iters: int = 8,
+    inner_iters: int = 10,
+):
+    """ONE intermediate waypoint configuration found by a small NLP
+    (`robot_arm_optimization_HLP.m:102-140` parity): minimize the summed
+    squared end-effector distances to the start and goal EE positions,
+    subject to every joint location staying >= ``buffer_dist`` outside
+    every obstacle AABB (`dist_point_to_box` role) and inside the joint
+    position limits.  The reference calls fmincon; here the same 7-var
+    problem reuses the planner's ALM + projected Gauss-Newton solver
+    (planner/nlp.py) with the box mapped onto [-1, 1]^n.
+
+    Returns ``(waypoint (n,), ok)`` — ``ok`` False mirrors the
+    reference's exitflag <= 0 path (caller falls back to the goal).
+    """
+    from armour_tpu.dynamics.rnea import forward_kinematics
+    from armour_tpu.dynamics.utility import ee_pose
+    from armour_tpu.planner.nlp import solve_box_alm
+
+    q_start = np.asarray(q_start, float)
+    q_goal = np.asarray(q_goal, float)
+    lb = np.where(np.isfinite(spec.pos_limits_lb), spec.pos_limits_lb, -np.pi)
+    ub = np.where(np.isfinite(spec.pos_limits_ub), spec.pos_limits_ub, np.pi)
+    center = jnp.asarray(0.5 * (lb + ub))
+    half = jnp.asarray(0.5 * (ub - lb))
+    obs_c = jnp.asarray(obstacles.zonos[:, 0], center.dtype)
+    obs_h = jnp.sum(jnp.abs(jnp.asarray(obstacles.zonos[:, 1:], center.dtype)),
+                    axis=1)
+    mask = jnp.asarray(obstacles.mask)
+    ee_s = ee_pose(spec, jnp.asarray(q_start, center.dtype))[1]
+    ee_g = ee_pose(spec, jnp.asarray(q_goal, center.dtype))[1]
+
+    def x_of(k):
+        return center + half * k
+
+    def f_fn(k):
+        p = ee_pose(spec, x_of(k))[1]
+        return jnp.sum((p - ee_g) ** 2) + jnp.sum((p - ee_s) ** 2)
+
+    def c_fn(k):
+        _, pw = forward_kinematics(spec, x_of(k))     # (n_joints, 3)
+        d = jnp.maximum(jnp.abs(pw[:, None] - obs_c[None]) - obs_h[None], 0.0)
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)  # (n_joints, O)
+        return jnp.where(mask[None], buffer_dist - dist, -1.0).reshape(-1)
+
+    k0 = jnp.clip((jnp.asarray(0.5 * (q_start + q_goal), center.dtype)
+                   - center) / half, -1.0, 1.0)
+    res = jax.jit(
+        lambda k: solve_box_alm(f_fn, c_fn, k, outer_iters=outer_iters,
+                                inner_iters=inner_iters)
+    )(k0)
+    found = bool(np.asarray(res.found_feas))
+    k = res.k_feas if found else res.k
+    ok = found or bool(np.asarray(res.max_violation) <= 1e-6)
+    return np.asarray(x_of(k), float), ok

@@ -352,7 +352,6 @@ def run_batch_stepped(
     masks = jnp.asarray(masks)[:, :bucket]
 
     solve_vmap = planner._solve_vmap
-    build_map = planner._build_map
 
     # exact mesh ground-truth oracle (refines box-check hits only)
     mesh_oracle = None
@@ -740,7 +739,10 @@ def run_batch_stepped(
                 q_des_np[w] = path[idx]
             q_des = jnp.asarray(q_des_np, dtype)
         loop_keys = jax.vmap(lambda k: jax.random.split(k)[0])(loop_keys)
-        probs = build_map(q0p, qd0p, qdd0p, zonos, masks)
+        # build_probs culls provably-out-of-reach obstacles per iteration
+        # (most of a cluttered world is outside the small whole-FRS tube of
+        # any single replan), so the solve runs at a much smaller bucket
+        probs = planner.build_probs(q0p, qd0p, qdd0p, zonos, masks)
         plan = solve_vmap(probs, q_des, loop_keys, k_prev)
 
         feas = np.asarray(plan.feasible)
@@ -783,8 +785,12 @@ def run_batch_stepped(
             summ[name] |= active & arr
         # goal-progress stall detector: the best-so-far goal distance must
         # keep improving, else the HLP escalates (catches both freezing AND
-        # oscillating around a local minimum)
-        d_goal = np.asarray(q, float) - goals_np
+        # oscillating around a local minimum).  Done/stopped rows are
+        # masked to the goal BEFORE the arithmetic: their state can be
+        # non-finite (parked/braking rows) and would otherwise trip
+        # RuntimeWarnings that drown real numeric bugs on ACTIVE worlds.
+        q_np = np.asarray(q, float)
+        d_goal = np.where(active[:, None], q_np, goals_np) - goals_np
         d_goal = np.where(cont_np[None],
                           (d_goal + np.pi) % (2 * np.pi) - np.pi, d_goal)
         dist = np.linalg.norm(d_goal, axis=-1)
@@ -802,11 +808,19 @@ def run_batch_stepped(
         if rescue.any():
             rescues = np.where(rescue, rescues + 1, rescues)
             fails = np.where(rescue, 0, fails)
-            # trip the guidance-escalation threshold on the next iteration
-            # and drop any stale path so a NEW family/seed is planned
-            stall = np.where(rescue, max(scfg.stall_guidance, 1), stall)
+            # force a genuinely FRESH guidance escalation: drop BOTH path
+            # families, trip the path-stale threshold (so the have_path
+            # guard cannot skip the world), and reset the retry counters
+            # (so the retry cap cannot either) — a rescue that re-burns
+            # stop_threshold iterations on the same failing guidance is
+            # no rescue at all
+            stall = np.where(rescue, max(scfg.stall_path_stale, 1), stall)
             for w in np.nonzero(rescue)[0]:
-                rrt_paths.pop(int(w), None)
+                w = int(w)
+                rrt_paths.pop(w, None)
+                ee_paths.pop(w, None)
+                cfg_retries[w] = 0
+                ee_retries.pop(w, None)
             if verbose:
                 print(f"  stop-rescue: worlds {np.nonzero(rescue)[0].tolist()}")
         stopped = hit & ~rescue

@@ -5,8 +5,33 @@ from __future__ import annotations
 import numpy as np
 
 
-def summarize_episodes(summary) -> dict:
-    """Aggregate a batched EpisodeSummary into the paper's safety table."""
+def protocol_block(plan_cfg, sim_cfg, hlp: str, dtype) -> dict:
+    """The full protocol stamp every battery artifact must carry so its
+    numbers are reproducible and comparable across rounds (the reference
+    fixes these in `kinova_run_100_worlds.m:20-100` + compile-time
+    `Parameters.h`; here they are runtime knobs, so they must be
+    RECORDED)."""
+    return {
+        "max_iterations": int(sim_cfg.max_iterations),
+        "stop_threshold": int(sim_cfg.stop_threshold),
+        "stop_rescue_attempts": int(sim_cfg.stop_rescue_attempts),
+        "hlp": str(hlp),
+        "nlp_outer_iters": int(plan_cfg.nlp_outer_iters),
+        "nlp_inner_iters": int(plan_cfg.nlp_inner_iters),
+        "nlp_num_starts": int(plan_cfg.nlp_num_starts),
+        "num_time_steps": int(plan_cfg.num_time_steps),
+        "obstacle_culling": bool(plan_cfg.obstacle_culling),
+        "collision_bank_bf16": bool(plan_cfg.collision_bank_bf16),
+        "dtype": str(np.dtype(dtype).name if not hasattr(dtype, "dtype")
+                     else np.dtype(dtype.dtype).name),
+    }
+
+
+def summarize_episodes(summary, protocol: dict | None = None) -> dict:
+    """Aggregate a batched EpisodeSummary into the paper's safety table.
+
+    ``protocol``: optional ``protocol_block`` dict, embedded verbatim so
+    the artifact states which protocol produced it."""
     g = np.asarray(summary.goal_reached)
     c = np.asarray(summary.collision)
     t = np.asarray(summary.torque_violation)
@@ -16,6 +41,7 @@ def summarize_episodes(summary) -> dict:
     n = g.shape[0] if g.ndim else 1
     success = g & ~c & ~t & ~j & ~u
     return {
+        **({"protocol": dict(protocol)} if protocol else {}),
         "n_worlds": int(n),
         "goal_reached": int(np.sum(g)),
         "success": int(np.sum(success)),

@@ -85,8 +85,11 @@ def main():
                        "grasp_wrench.png")
 
     def q_fn(t):
+        # bezier_ref takes WALL-CLOCK t (it normalizes by duration
+        # internally) — passing t/duration would double-normalize and
+        # sample only the first 1/duration of the trajectory
         qt, _, _ = bezier_ref(q0, np.zeros(7), np.zeros(7),
-                              cfg.k_range * k, t / cfg.duration, cfg.duration)
+                              cfg.k_range * k, t, cfg.duration)
         return jnp.asarray(qt, dtype)
 
     fig = plot_grasp_wrench(spec, grasp, q_fn, out, duration=cfg.duration)

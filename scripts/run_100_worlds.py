@@ -47,6 +47,13 @@ def main():
                     help="override PlannerConfig.nlp_outer_iters (A/B runs)")
     ap.add_argument("--nlp-inner", type=int, default=0,
                     help="override PlannerConfig.nlp_inner_iters (A/B runs)")
+    ap.add_argument("--stop-rescue", type=int, default=0,
+                    help="SimConfig.stop_rescue_attempts: 0 (default) = the "
+                         "reference stop protocol (simulator_armtd.m:187-198 "
+                         "aborts after stop_threshold consecutive infeasible "
+                         "plans); N > 0 lets a parked world force N fresh "
+                         "guidance escalations instead of ending the episode. "
+                         "Recorded in the artifact's protocol block.")
     ap.add_argument("--out", default="", help="write JSON summary here")
     args = ap.parse_args()
 
@@ -66,7 +73,9 @@ def main():
     from armour_tpu.robots.kinova import kinova_gen3_spec
     from armour_tpu.sim.harness import EpisodeRunner, run_batch_stepped
     from armour_tpu.sim.scenarios import load_world_csv, stack_worlds
-    from armour_tpu.utils.summary import format_summary, summarize_episodes
+    from armour_tpu.utils.summary import (
+        format_summary, protocol_block, summarize_episodes,
+    )
 
     spec = kinova_gen3_spec()
     pcfg = PlannerConfig(num_time_steps=args.time_steps)
@@ -78,7 +87,8 @@ def main():
             nlp_outer_iters=args.nlp_outer or pcfg.nlp_outer_iters,
             nlp_inner_iters=args.nlp_inner or pcfg.nlp_inner_iters,
         )
-    scfg = SimConfig(max_iterations=args.max_iterations)
+    scfg = SimConfig(max_iterations=args.max_iterations,
+                     stop_rescue_attempts=args.stop_rescue)
 
     files = sorted(glob.glob(os.path.join(args.worlds_dir, "*.csv")))[: args.max_worlds]
     if not files:
@@ -110,7 +120,8 @@ def main():
     wall = time.perf_counter() - t0
 
     merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *outs)
-    d = summarize_episodes(merged)
+    d = summarize_episodes(
+        merged, protocol=protocol_block(pcfg, scfg, args.hlp, dtype))
     d["traj_type"] = args.traj_type
     d["max_iterations"] = args.max_iterations
     d["wall_seconds"] = round(wall, 2)

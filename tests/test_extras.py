@@ -220,3 +220,48 @@ def test_host_checker_matches_jax_oracle(rng):
     got = _host_checker(SPEC, obs)(q)
     assert ref.sum() > 10 and ref.sum() < 290  # both classes exercised
     np.testing.assert_array_equal(got, ref)
+
+
+def test_manual_waypoint_hlp_consumes_in_order():
+    """`arm_manual_waypoint_HLP.m` parity: waypoints return in order,
+    advancing when the query config is within advance_radius; the last
+    one sticks."""
+    from armour_tpu.planner.hlp import ManualWaypointHLP
+
+    wps = np.stack([np.zeros(7), np.full(7, 0.5), np.full(7, 1.0)])
+    hlp = ManualWaypointHLP(wps, advance_radius=0.3)
+    far = np.full(7, -2.0)
+    np.testing.assert_array_equal(hlp.get_waypoint(far), wps[0])
+    # arriving at wp0 advances to wp1; arriving at wp1 advances to wp2
+    np.testing.assert_array_equal(hlp.get_waypoint(np.zeros(7)), wps[1])
+    np.testing.assert_array_equal(hlp.get_waypoint(np.full(7, 0.5)), wps[2])
+    np.testing.assert_array_equal(hlp.get_waypoint(np.full(7, 1.0)), wps[2])
+
+
+def test_optimization_waypoint_clears_obstacle():
+    """`robot_arm_optimization_HLP.m` parity: the optimized intermediate
+    waypoint keeps every joint location >= buffer_dist from the obstacle
+    boxes while staying EE-between start and goal."""
+    from armour_tpu.dynamics.rnea import forward_kinematics
+    from armour_tpu.planner.hlp import optimization_waypoint
+
+    spec = kinova_gen3_spec()
+    q_start = np.array([0.6543, -0.0876, -0.4837, -1.2278, -1.5735, -1.0720, 0.0])
+    q_goal = q_start + 0.4
+    obstacles = ObstacleSet.from_boxes(
+        np.array([[-0.3, 0.1, 0.5]]), np.array([[0.15, 0.15, 0.15]]), 4
+    )
+    wp, ok = optimization_waypoint(spec, q_start, q_goal, obstacles,
+                                   buffer_dist=0.08)
+    assert ok
+    _, pw = forward_kinematics(spec, jnp.asarray(wp))
+    d = np.maximum(
+        np.abs(np.asarray(pw)[:, None] - np.array([[-0.3, 0.1, 0.5]])[None])
+        - np.array([[0.075, 0.075, 0.075]])[None], 0.0)
+    dist = np.linalg.norm(d, axis=-1)
+    assert (dist >= 0.08 - 1e-5).all(), f"min clearance {dist.min()}"
+    # inside joint limits
+    assert (wp >= np.where(np.isfinite(spec.pos_limits_lb),
+                           spec.pos_limits_lb, -np.pi) - 1e-9).all()
+    assert (wp <= np.where(np.isfinite(spec.pos_limits_ub),
+                           spec.pos_limits_ub, np.pi) + 1e-9).all()
