@@ -520,16 +520,24 @@ class ArmourPlanner:
                 thr = jnp.concatenate(
                     [jnp.full((sz,), t, dtype) for sz, t in parts])
 
+                # k_feas rows: strictly feasible by construction when
+                # found; otherwise k_feas == the start K0[i], whose exact
+                # values are c0[i] — threshold-level verification of the
+                # fallback is still free (this row is how a random start
+                # that is threshold-feasible but never strictly feasible
+                # survives, matching the explicit-pool semantics)
+                feas0 = jnp.all(sol.c0 <= thr[None], axis=-1)
+                viol0 = jnp.max(sol.c0, axis=-1)
                 pool = jnp.concatenate([sol.k, sol.k_feas, k0s[:2]])
                 feas = jnp.concatenate([
                     jnp.all(sol.c <= thr[None], axis=-1),
-                    sol.found_feas,
-                    jnp.all(sol.c0[:2] <= thr[None], axis=-1),
+                    sol.found_feas | feas0,
+                    feas0[:2],
                 ])
                 viols = jnp.concatenate([
                     jnp.max(sol.c, axis=-1),
-                    sol.v_feas,
-                    jnp.max(sol.c0[:2], axis=-1),
+                    jnp.where(sol.found_feas, sol.v_feas, viol0),
+                    viol0[:2],
                 ])
                 costs = jnp.where(feas, jax.vmap(f_fn)(pool), jnp.inf)
                 best = jnp.argmin(costs)

@@ -23,8 +23,15 @@ def main():
     ap.add_argument("--worlds-per-device", type=int, default=2)
     ap.add_argument("--time-steps", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--production", action="store_true",
+                    help="production program shapes (T=128, 8-slot bucketed "
+                         "bank, bf16 normals, 4-start 8x8 ALM) — the bench "
+                         "headline's operating point, so dp-scaling rows "
+                         "compose with the measured single-chip rate")
     ap.add_argument("--out", default="", help="write JSON results here")
     args = ap.parse_args()
+    if args.production:
+        args.time_steps = 128
 
     import jax
 
@@ -46,8 +53,12 @@ def main():
     results = []
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
     for n in counts:
-        cfg = PlannerConfig(num_time_steps=args.time_steps, max_obstacles=4,
-                            nlp_num_starts=2, nlp_outer_iters=4, nlp_inner_iters=4)
+        if args.production:
+            cfg = PlannerConfig(num_time_steps=128, max_obstacles=8)
+        else:
+            cfg = PlannerConfig(num_time_steps=args.time_steps, max_obstacles=4,
+                                nlp_num_starts=2, nlp_outer_iters=4,
+                                nlp_inner_iters=4)
         mesh = make_planner_mesh(jax.devices()[:n], cp_size=1)
         step = sharded_plan_step(spec, cfg, mesh, jnp.float32)
         B = args.worlds_per_device * n
@@ -58,10 +69,11 @@ def main():
         qd0 = jnp.zeros((B, 7), jnp.float32)
         qdd0 = jnp.zeros((B, 7), jnp.float32)
         q_des = q0 + 0.4 * cfg.k_range
-        zonos = jnp.zeros((B, 4, 4, 3), jnp.float32)
+        O = cfg.max_obstacles
+        zonos = jnp.zeros((B, O, 4, 3), jnp.float32)
         zonos = zonos.at[:, 0, 0].set(jnp.asarray([0.5, 0.3, 0.5], jnp.float32))
         zonos = zonos.at[:, 0, 1:].set(jnp.eye(3, dtype=jnp.float32) * 0.06)
-        masks = jnp.zeros((B, 4), bool).at[:, 0].set(True)
+        masks = jnp.zeros((B, O), bool).at[:, 0].set(True)
         keys = jax.random.split(jax.random.PRNGKey(0), B)
 
         out = jax.block_until_ready(step(q0, qd0, qdd0, q_des, zonos, masks, keys))
