@@ -23,6 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worlds-dir", default=os.path.join(os.path.dirname(__file__), "..", "assets", "worlds"))
     ap.add_argument("--max-worlds", type=int, default=100)
+    ap.add_argument("--worlds", default="",
+                    help="comma-separated CSV basenames to run (diagnosis "
+                         "re-runs on a subset, e.g. the stopped worlds)")
     ap.add_argument("--batch", type=int, default=0, help="worlds per device batch (0 = all)")
     ap.add_argument("--time-steps", type=int, default=128)
     ap.add_argument("--max-iterations", type=int, default=500,
@@ -90,7 +93,14 @@ def main():
     scfg = SimConfig(max_iterations=args.max_iterations,
                      stop_rescue_attempts=args.stop_rescue)
 
-    files = sorted(glob.glob(os.path.join(args.worlds_dir, "*.csv")))[: args.max_worlds]
+    files = sorted(glob.glob(os.path.join(args.worlds_dir, "*.csv")))
+    if args.worlds:
+        want = set(args.worlds.split(","))
+        files = [f for f in files if os.path.basename(f) in want]
+        missing = want - {os.path.basename(f) for f in files}
+        if missing:
+            raise SystemExit(f"worlds not found: {sorted(missing)}")
+    files = files[: args.max_worlds]
     if not files:
         raise SystemExit(f"no world CSVs in {args.worlds_dir} — run scripts/generate_worlds.py")
     worlds = [load_world_csv(f, pcfg.max_obstacles, dtype) for f in files]
