@@ -353,6 +353,24 @@ def run_batch_stepped(
 
     solve_vmap = planner._solve_vmap
 
+    # Pre-compile EVERY bucket specialization the per-iteration obstacle
+    # culling can produce for this (batch, capacity) shape.  Culling makes
+    # the solve bucket dynamic across iterations; the FIRST encounter of a
+    # new bucket otherwise pays a cold compile through the remote TPU
+    # compile service MID-EPISODE (measured ~10 min — long enough to blow
+    # a battery's wall-clock budget).  Warm-up runs each program once on
+    # the real problem shapes; with a persistent compile cache this is
+    # seconds on every run after the first.
+    if planner.cfg.obstacle_culling and bucket > 8:
+        q0w = jnp.asarray(starts, dtype)
+        zerow = jnp.zeros_like(q0w)
+        probs_w, gens_w, _, _ = planner._rs_map(q0w, zerow, zerow)
+        keys_w = jax.random.split(jax.random.PRNGKey(0), B)
+        for b_w in sorted(set(range(8, bucket, 8)) | {bucket}):
+            hp_w = planner._buffer_vmap(gens_w, zonos[:, :b_w], masks[:, :b_w])
+            jax.block_until_ready(
+                solve_vmap(probs_w._replace(hp=hp_w), q0w, keys_w, zerow))
+
     # exact mesh ground-truth oracle (refines box-check hits only)
     mesh_oracle = None
     if collision_oracle == "mesh":

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Classify the self-generated suite's safe stops across rounds.
+
+Round 4 ended with 28 safe stops on the harder self-generated 100-world
+suite (`results/r4_100worlds_selfgen.json`) and a diagnosis on the
+REFERENCE suite showing its stops were guidance-homotopy artifacts
+curable by config-space RRT-connect-first guidance.  Round 5 applies
+that cure (--hlp rrt_connect --stop-rescue 2) to the self-gen suite;
+this script joins the two artifacts per world and classifies every
+round-4 stop:
+
+  recovered_by_guidance  — stopped in r4, goal reached under the cure
+  still_stopped          — stopped under the cure too (candidate
+                           genuinely-infeasible world; listed for
+                           targeted diagnosis via run_100_worlds
+                           --worlds ...)
+  regressed              — reached in r4 but stopped in r5 (expected
+                           empty; guidance is randomized, so a nonzero
+                           entry here is seed noise, not a cure failure)
+
+Writes results/r5_selfgen_stop_classification.json.
+"""
+
+import json
+import os
+import sys
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    r4 = json.load(open(os.path.join(ROOT, "results/r4_100worlds_selfgen.json")))
+    r5 = json.load(open(os.path.join(ROOT, "results/r5_100worlds_selfgen.json")))
+    w4 = {w["world"]: w for w in r4["worlds"]}
+    w5 = {w["world"]: w for w in r5["worlds"]}
+    assert set(w4) == set(w5), "artifact world sets differ"
+
+    recovered, still, regressed = [], [], []
+    for name, a in sorted(w4.items()):
+        b = w5[name]
+        if a["stopped"] and b["goal_reached"]:
+            recovered.append(name)
+        elif b["stopped"] and a["stopped"]:
+            still.append(name)
+        elif b["stopped"] and a["goal_reached"]:
+            regressed.append(name)
+
+    out = {
+        "r4_protocol": "straight-line-first HLP, stop_rescue=0, 500 iters",
+        "r5_protocol": r5.get("protocol", {}),
+        "r4_stops": int(r4["stopped_safely"]),
+        "r5_stops": int(r5["stopped_safely"]),
+        "r4_success": int(r4["success"]),
+        "r5_success": int(r5["success"]),
+        "recovered_by_guidance": recovered,
+        "still_stopped": still,
+        "regressed": regressed,
+        "note": (
+            "recovered = guidance-homotopy stop (the planner was never "
+            "infeasible from a well-guided state); still_stopped = "
+            "candidate genuinely-hard world — diagnose with "
+            "scripts/run_100_worlds.py --worlds <names> under alternate "
+            "seeds/HLPs before calling it infeasible"
+        ),
+    }
+    path = os.path.join(ROOT, "results/r5_selfgen_stop_classification.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: (len(v) if isinstance(v, list) else v)
+                      for k, v in out.items() if k != "note"}, indent=1))
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
