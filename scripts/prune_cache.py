@@ -3,24 +3,32 @@
 
 The committed `.jax_cache/` exists for ONE purpose: the driver's
 end-of-round `python bench.py` must warm-start on a host whose /tmp has
-been wiped (a cold compile of the production batch program through the
-remote TPU compile service measured ~660 s in round 5 — more than the
-bench's per-attempt budget).  Everything else (tests, dryrun, batteries)
-uses /tmp/jax_cache and must NOT leak entries into the repo: round 4
-shipped 178 MiB of accumulated blobs, including CPU AOT entries that
-machine-feature-mismatch on other hosts.
+been wiped (a fully cold compile of the production batch program through
+the remote TPU compile service measured ~660 s in round 5 — more than
+the bench's per-attempt budget).  Everything else (tests, dryrun,
+batteries) uses /tmp/jax_cache and must NOT leak entries into the repo:
+round 4 shipped 178 MiB of accumulated blobs, including CPU AOT entries
+that machine-feature-mismatch on other hosts.
 
-Strategy: prune-by-regeneration.  Point JAX_CACHE_DIR at an empty
-staging dir, run exactly the programs the driver's bench path runs
-(plain batch 128 + the latency/40-obstacle extras), then REPLACE
-.jax_cache with the staging dir.  Entries for dead program versions
-cannot survive because they are never regenerated.
+Strategy: prune-by-regeneration under the EXACT driver invocation.
+Empty the repo cache, then run the same commands the driver path can
+run — `python bench.py` (orchestrated primary + extras) plus the two
+fallback programs — with bench.py's own default cache dir.  Entries for
+dead program versions cannot survive because they are never
+regenerated.
 
-Cost: one full cold compile (~10-20 min on the tunneled TPU).  Run after
-any change to a jitted planner program, before the end-of-round commit:
+IMPORTANT: do NOT regenerate through a JAX_CACHE_DIR override into a
+staging dir — round 5 measured that entries written under that env got
+DIFFERENT cache keys than the default-env driver invocation (~50 MiB of
+dead duplicates), so the "warm" cache missed.  Regenerate in place,
+with the default env, exactly as the driver runs it.
 
-    python scripts/prune_cache.py            # regenerate
-    python bench.py                           # verify warm (< ~2 min)
+Cost: one cold compile pass (fast if the remote compile service is
+server-side warm; up to ~30 min if not).  Run after any change to a
+jitted planner program, before the end-of-round commit:
+
+    python scripts/prune_cache.py
+    python bench.py          # verify: must add NO new cache entries
     git add -A .jax_cache
 """
 
@@ -28,7 +36,6 @@ import os
 import shutil
 import subprocess
 import sys
-import tempfile
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 CACHE = os.path.join(ROOT, ".jax_cache")
@@ -36,29 +43,27 @@ BENCH = os.path.join(ROOT, "bench.py")
 
 
 def main():
-    staging = tempfile.mkdtemp(prefix="jax_cache_staging_")
-    env = dict(os.environ, JAX_CACHE_DIR=staging)
+    if os.path.isdir(CACHE):
+        shutil.rmtree(CACHE)
+    os.makedirs(CACHE)
+    env = dict(os.environ)
+    env.pop("JAX_CACHE_DIR", None)  # MUST use bench.py's default repo cache
     # the exact programs the driver's orchestrated bench path can run
     runs = [
-        ("batch128", {"BENCH_MODE": "batch", "BENCH_BATCH": "128"}),
-        ("batch128+extras", {"BENCH_MODE": "batch", "BENCH_BATCH": "128",
-                             "BENCH_EXTRAS": "1"}),
-        ("batch32", {"BENCH_MODE": "batch", "BENCH_BATCH": "32"}),
-        ("single", {"BENCH_MODE": "single"}),
+        ("orchestrated (primary + extras)", {}),
+        ("batch32 fallback", {"BENCH_MODE": "batch", "BENCH_BATCH": "32"}),
+        ("single fallback", {"BENCH_MODE": "single"}),
     ]
     for tag, extra in runs:
-        print(f"=== compiling {tag} (cold: minutes) ===", flush=True)
+        print(f"=== compiling {tag} ===", flush=True)
         r = subprocess.run([sys.executable, BENCH], env=dict(env, **extra),
                            timeout=2400)
         if r.returncode != 0:
-            raise SystemExit(f"{tag} failed rc={r.returncode}; cache NOT replaced")
-    size = sum(os.path.getsize(os.path.join(staging, f))
-               for f in os.listdir(staging)) / 2**20
-    n = len(os.listdir(staging))
-    if os.path.isdir(CACHE):
-        shutil.rmtree(CACHE)
-    shutil.move(staging, CACHE)
-    print(f"replaced .jax_cache: {n} entries, {size:.1f} MiB")
+            raise SystemExit(f"{tag} failed rc={r.returncode}")
+    size = sum(os.path.getsize(os.path.join(CACHE, f))
+               for f in os.listdir(CACHE)) / 2**20
+    print(f"regenerated .jax_cache: {len(os.listdir(CACHE))} entries, "
+          f"{size:.1f} MiB")
 
 
 if __name__ == "__main__":
