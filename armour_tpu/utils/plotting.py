@@ -455,3 +455,28 @@ def plot_grasp_wrench(spec, grasp, q_fn, out_path, duration: float = 1.0,
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def plot_frs_animation_frames(rec: dict, spec, out_dir, cfg=None, dtype=None,
+                              max_frames: int = 12):
+    """Per-iteration FRS animation frames (the `post_sim_plotting.m`
+    animation-loop family, frames 1..N of the replanned forward occupancy
+    over the world): one `plot_frs_topdown` snapshot per recorded planning
+    iteration, strided to at most ``max_frames`` files
+    ``frame_000.png ...`` in ``out_dir``.  Assemble with any encoder,
+    e.g. `ffmpeg -i frame_%03d.png out.mp4`."""
+    if not HAVE_MPL or "q0p" not in rec:
+        return None
+    import os
+
+    n = int(rec["k"].shape[0])
+    stride = max(1, -(-n // max_frames))
+    os.makedirs(out_dir, exist_ok=True)
+    outs = []
+    for j, it in enumerate(range(0, n, stride)):
+        out = plot_frs_topdown(
+            rec, spec, os.path.join(out_dir, f"frame_{j:03d}.png"),
+            iteration=it, cfg=cfg, dtype=dtype)
+        if out:
+            outs.append(out)
+    return outs

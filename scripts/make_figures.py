@@ -92,6 +92,14 @@ def main():
         out = fn(rec, spec, os.path.join(args.out_dir, name), **kw)
         print(f"figure: {out}")
 
+    from armour_tpu.utils.plotting import plot_frs_animation_frames
+
+    frames = plot_frs_animation_frames(
+        rec, spec, os.path.join(args.out_dir, f"{tag}_frs_frames"),
+        cfg=pcfg, dtype=dtype)
+    if frames:
+        print(f"animation frames: {len(frames)} in {tag}_frs_frames/")
+
 
 if __name__ == "__main__":
     main()
